@@ -1,0 +1,19 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+The axon TPU plugin registers itself regardless of JAX_PLATFORMS, so merely
+setting the env var is not enough — we also pin jax's default device to CPU
+after import. (The reference's analogue is compiling the same sources twice
+for the C and ASM backends, test/Makefile:43-64 — here one backend runs on
+CPU for CI and the identical code runs on TPU in production/bench.)"""
+
+import os
+
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_device", jax.devices("cpu")[0])
+jax.config.update("jax_platform_name", "cpu")

@@ -1,0 +1,50 @@
+"""SHA-512 KATs and differential tests vs hashlib (the reference validates
+against sha512_abc / million-'a' vectors, test/curve25519_selftest.c:131-141)."""
+
+import hashlib
+
+import numpy as np
+import jax.numpy as jnp
+
+from curve25519_tpu.ops.sha512 import sha512, sha512_bytes, Sha512
+
+rng = np.random.default_rng(7)
+
+
+def test_kat_abc():
+    assert sha512_bytes(b"abc").hex() == hashlib.sha512(b"abc").hexdigest()
+
+
+def test_kat_empty():
+    assert sha512_bytes(b"") == hashlib.sha512(b"").digest()
+
+
+def test_boundary_lengths():
+    # padding boundaries: 111/112 trigger 1 vs 2 blocks, 127/128/129, etc.
+    for n in [1, 55, 56, 63, 64, 111, 112, 113, 127, 128, 129, 200, 255, 256, 1000]:
+        data = bytes(rng.integers(0, 256, n, dtype=np.uint8))
+        assert sha512_bytes(data) == hashlib.sha512(data).digest(), n
+
+
+def test_batched_variable_lengths():
+    L = 300
+    lens = [0, 1, 57, 111, 112, 128, 255, 300]
+    msgs = np.zeros((len(lens), L), dtype=np.uint8)
+    datas = []
+    for i, n in enumerate(lens):
+        d = bytes(rng.integers(0, 256, n, dtype=np.uint8))
+        msgs[i, :n] = np.frombuffer(d, np.uint8)
+        datas.append(d)
+    out = np.asarray(sha512(jnp.asarray(msgs), jnp.asarray(lens, jnp.int32)))
+    for i, d in enumerate(datas):
+        assert bytes(out[i].tolist()) == hashlib.sha512(d).digest(), lens[i]
+
+
+def test_million_a():
+    data = b"a" * 1000000
+    assert sha512_bytes(data) == hashlib.sha512(data).digest()
+
+
+def test_streaming_facade():
+    h = Sha512().update(b"hello ").update(b"world")
+    assert h.final() == hashlib.sha512(b"hello world").digest()
