@@ -1,0 +1,268 @@
+"""Ed25519 keygen / sign / verify (batched, TPU-native).
+
+Protocol layer equivalent to the reference API (reference:
+source/ed25519_sign.c:343-419, source/ed25519_verify.c:163-313,
+include/ed25519_signature.h). Differences by design:
+
+- Everything is batched: keys/messages/signatures carry leading batch axes;
+  one call = thousands of signature ops on a chip.
+- The per-pubkey precompute (Verify_Init's 16-entry q_table of subset sums of
+  2^(64i) * (-Q), ed25519_verify.c:179-232) is a first-class cacheable array
+  pytree, serializable like the reference's EDP_SIGV_CTX.
+- Table lookups in the double-scalar multiply are constant-time one-hot
+  contractions (see models/tables.py) even though verify operates on public
+  data — uniformity is free here.
+- Messages are fixed-shape padded byte tensors with explicit lengths
+  (see ops/sha512.py).
+
+Note on verification semantics: like the reference (which never range-checks
+S, ed25519_verify.c:287-313), `strict=False` accepts signatures with
+S >= l (malleable encodings). Pass strict=True for RFC 8032 semantics.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from curve25519_tpu.config import ED_D, ED_DI, NLIMBS
+from curve25519_tpu.models import edwards, tables
+from curve25519_tpu.ops import codec, fe, fold, sc
+from curve25519_tpu.ops.sha512 import sha512
+
+__all__ = [
+    "create_keypair", "sign", "verify", "verify_init", "verify_check",
+    "calculate_x", "unpack_point",
+]
+
+
+# ---------------------------------------------------------------------------
+# Point decompression
+# ---------------------------------------------------------------------------
+def calculate_x(y, parity):
+    """x from y with given parity bit; returns (x_limbs, ok_mask).
+    Reference ed25519_CalculateX (ed25519_verify.c:66-100):
+    x = sqrt((y^2 - 1)/(d y^2 + 1)) with sqrt(-1) fixup and parity match."""
+    y2 = fe.sqr(y)
+    u = fe.sub(y2, fe.one(y.shape[:-1]))
+    v = fe.add(fe.mul(y2, fe.from_int(ED_D)), fe.one(y.shape[:-1]))
+    x, ok = fe.sqrt_ratio(u, v)
+    xc = fe.canon(x)
+    flip = ((xc[..., 0] ^ parity) & 1) == 1
+    x = fe.select(flip, fe.neg(xc), xc)
+    return x, ok
+
+
+def unpack_point(p_bytes, negate=False):
+    """Compressed 32 bytes -> Ext point (+ok mask). negate=True yields -Q
+    (parity inverted), the form Verify_Init caches (ed25519_verify.c:193)."""
+    y_bytes, parity = codec.unpack_parity(jnp.asarray(p_bytes, jnp.uint8))
+    if negate:
+        parity = 1 - parity
+    y = fe.from_bytes(y_bytes)
+    x, ok = calculate_x(y, parity)
+    return {"x": x, "y": y, "z": fe.vary_like(fe.one(y.shape[:-1]), y),
+            "t": fe.mul(x, y)}, ok
+
+
+def _pack(x, y):
+    """Affine limb coords -> compressed 32 bytes (reference ed25519_PackPoint)."""
+    parity = fe.canon(x)[..., 0] & 1
+    return codec.pack_point(fe.to_bytes(y), parity)
+
+
+# ---------------------------------------------------------------------------
+# Base-point multiply with optional blinding
+# ---------------------------------------------------------------------------
+def _base_mult_blinded(a_limbs, blinding):
+    """R = a*G as an Ext point; with blinding computes (a + bl)*G + BP
+    (reference edp_BasePointMultiply, ed25519_sign.c:246-268)."""
+    if blinding is not None:
+        t = sc.add(sc.mod(a_limbs), blinding["bl"])
+        bits = codec.scalar_bits(sc.to_bytes(t))
+        s = edwards.base_point_mult(bits, zr=blinding["zr"])
+        s = edwards.add_pe(s, blinding["bp"])
+    else:
+        from curve25519_tpu.models.blinding import default_zr
+        s = edwards.base_point_mult(_bits_of_limbs(a_limbs),
+                                    zr=default_zr(a_limbs.shape[:-1]))
+    return s
+
+
+def _bits_of_limbs(a_limbs):
+    """Limb tensor (< 2^256) -> [..., 256] bits."""
+    shifts = jnp.arange(13, dtype=jnp.int32)
+    bits = (a_limbs[..., :, None] >> shifts) & 1
+    return bits.reshape(bits.shape[:-2] + (NLIMBS * 13,))[..., :256]
+
+
+def _affine_base_mult(a_limbs, blinding):
+    s = _base_mult_blinded(a_limbs, blinding)
+    return edwards.to_affine(s)
+
+
+# ---------------------------------------------------------------------------
+# Keygen / sign
+# ---------------------------------------------------------------------------
+def create_keypair(sk, blinding=None):
+    """(pubkey[...,32], privkey[...,64]) from 32-byte secret seeds.
+    Reference ed25519_CreateKeyPair (ed25519_sign.c:344-367)."""
+    sk = jnp.asarray(sk, dtype=jnp.uint8)
+    md = sha512(sk)                              # [..., 64]
+    a_bytes = codec.clamp(md[..., :32])
+    a = fe.from_bytes(a_bytes)
+    x, y = _affine_base_mult(a, blinding)
+    pk = _pack(x, y)
+    priv = jnp.concatenate([sk, pk], axis=-1)
+    return pk, priv
+
+
+def sign(priv, msg, msg_len=None, blinding=None):
+    """64-byte signatures (R, S) for messages.
+    priv: [..., 64] (sk || pk); msg: [..., L] uint8; msg_len: [...] int32.
+    Reference ed25519_SignMessage (ed25519_sign.c:372-419)."""
+    priv = jnp.asarray(priv, dtype=jnp.uint8)
+    msg = jnp.asarray(msg, dtype=jnp.uint8)
+    batch = msg.shape[:-1]
+    L = msg.shape[-1]
+    if msg_len is None:
+        msg_len = jnp.full(batch, L, jnp.int32)
+
+    md = sha512(priv[..., :32])
+    a = fe.from_bytes(codec.clamp(md[..., :32]))
+    prefix = md[..., 32:]
+
+    # r = H(prefix || m) mod l
+    rmsg = jnp.concatenate([jnp.broadcast_to(prefix, batch + (32,)), msg], -1)
+    r = sc.from_digest(sha512(rmsg, 32 + msg_len))
+
+    # R = r*G
+    rx, ry = _affine_base_mult(r, blinding)
+    R_bytes = _pack(rx, ry)
+
+    # S = r + H(enc(R) || pk || m) * a  mod l
+    hmsg = jnp.concatenate([
+        jnp.broadcast_to(R_bytes, batch + (32,)),
+        jnp.broadcast_to(priv[..., 32:64], batch + (32,)), msg], -1)
+    h = sc.from_digest(sha512(hmsg, 64 + msg_len))
+    s = sc.muladd(h, sc.mod(a), r)
+    return jnp.concatenate([jnp.broadcast_to(R_bytes, batch + (32,)),
+                            sc.to_bytes(s)], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Verify (two-phase, amortizable per-pk precompute)
+# ---------------------------------------------------------------------------
+def verify_init(pk):
+    """Build the per-pubkey context: q_table[16] of subset sums of
+    {-Q, 2^64(-Q), 2^128(-Q), 2^192(-Q)} in PE form.
+    Reference ed25519_Verify_Init (ed25519_verify.c:179-232).
+
+    Returns a pytree dict {pk, planes, ok}; `planes` is the int8-split table
+    ready for constant-time gathering, shape [..., 16, 8*NLIMBS]."""
+    pk = jnp.asarray(pk, dtype=jnp.uint8)
+    q, ok = unpack_point(pk, negate=True)
+    batch = pk.shape[:-1]
+
+    qt = [None] * 16
+    qt[0] = {"ypx": fe.one(batch), "ymx": fe.one(batch),
+             "t2d": fe.zero(batch), "z2": fe.from_int(2, batch)}
+    qt[1] = edwards.to_pe(q)
+
+    def dbl64(_, p):
+        return edwards.double(p)
+
+    q = jax.lax.fori_loop(0, 64, dbl64, q)
+    qt[2] = edwards.to_pe(q)
+    qt[3] = edwards.to_pe(edwards.add_pe(q, qt[1]))
+
+    q = jax.lax.fori_loop(0, 64, dbl64, q)
+    qt[4] = edwards.to_pe(q)
+    for d, s in [(5, 1), (6, 2), (7, 3)]:
+        qt[d] = edwards.to_pe(edwards.add_pe(q, qt[s]))
+
+    q = jax.lax.fori_loop(0, 64, dbl64, q)
+    qt[8] = edwards.to_pe(q)
+    for d, s in [(9, 1), (10, 2), (11, 3), (12, 4), (13, 5), (14, 6), (15, 7)]:
+        qt[d] = edwards.to_pe(edwards.add_pe(q, qt[s]))
+
+    # weak-all limbs (<= 9500 < 2^14) split exactly into 7-bit int8 planes,
+    # so no canonicalization is needed before caching
+    arr = jnp.stack([
+        jnp.stack([e["ypx"], e["ymx"], e["t2d"], e["z2"]], axis=-2)
+        for e in qt], axis=-3)                    # [..., 16, 4, NLIMBS]
+    return {"pk": pk, "planes": tables.pe_planes_from_array(arr), "ok": ok}
+
+
+def _poly_point_multiply(s_bits, h_bits, planes):
+    """R' = s*G + h*(-Q): 8-folds of s against the base table interleaved
+    with 4-folds of h against the per-key q_table.
+    Reference edp_PolyPointMultiply (ed25519_verify.c:243-280)."""
+    u = fold.cut8(s_bits)                        # [..., 32]
+    v = fold.cut4(h_bits)                        # [..., 64]
+
+    q0 = tables.gather_pe(v[..., 0], planes)
+    x = fe.sub(q0["ypx"], q0["ymx"])
+    y = fe.add(q0["ypx"], q0["ymx"])
+    t = fe.mul(q0["t2d"], fe.from_int(ED_DI))
+    s = {"x": x, "y": y, "z": q0["z2"], "t": t}
+
+    v1 = jnp.moveaxis(v[..., 1:32], -1, 0)       # [31, ...]
+
+    def body1(st, vi):
+        st = edwards.double(st)
+        st = edwards.add_pe(st, tables.gather_pe(vi, planes))
+        return st, None
+
+    s, _ = jax.lax.scan(body1, s, v1)
+
+    u2 = jnp.moveaxis(u, -1, 0)                  # [32, ...]
+    v2 = jnp.moveaxis(v[..., 32:], -1, 0)        # [32, ...]
+
+    def body2(st, uv):
+        ui, vi = uv
+        st = edwards.double(st)
+        st = edwards.add_pa(st, tables.gather_pa(ui))
+        st = edwards.add_pe(st, tables.gather_pe(vi, planes))
+        return st, None
+
+    s, _ = jax.lax.scan(body2, s, (u2, v2))
+    return edwards.to_affine(s)
+
+
+def verify_check(ctx, sig, msg, msg_len=None, strict=False):
+    """Per-message phase: recompute R' = s*G + h*(-Q) and compare with the
+    signature's R. Reference ed25519_Verify_Check (ed25519_verify.c:287-313).
+    Returns a boolean batch mask."""
+    sig = jnp.asarray(sig, dtype=jnp.uint8)
+    msg = jnp.asarray(msg, dtype=jnp.uint8)
+    batch = jnp.broadcast_shapes(msg.shape[:-1], sig.shape[:-1],
+                                 ctx["pk"].shape[:-1])
+    L = msg.shape[-1]
+    if msg_len is None:
+        msg_len = jnp.full(batch, L, jnp.int32)
+
+    hmsg = jnp.concatenate([
+        jnp.broadcast_to(sig[..., :32], batch + (32,)),
+        jnp.broadcast_to(ctx["pk"], batch + (32,)),
+        jnp.broadcast_to(msg, batch + (L,))], -1)
+    h = sc.from_digest(sha512(hmsg, 64 + msg_len))
+
+    s_bits = codec.scalar_bits(sig[..., 32:])
+    h_bits = codec.scalar_bits(sc.to_bytes(h))
+    rx, ry = _poly_point_multiply(s_bits, h_bits, ctx["planes"])
+    r_bytes = _pack(rx, ry)
+
+    match = jnp.all(r_bytes == sig[..., :32], axis=-1)
+    result = jnp.logical_and(match, ctx["ok"])
+    if strict:
+        # RFC 8032: reject S >= l (the reference accepts malleable encodings)
+        s_red = sc.mod(fe.from_bytes(sig[..., 32:]))
+        canonical = jnp.all(sc.to_bytes(s_red) == sig[..., 32:], axis=-1)
+        result = jnp.logical_and(result, canonical)
+    return result
+
+
+def verify(sig, pk, msg, msg_len=None, strict=False):
+    """One-shot verify = verify_init + verify_check.
+    Reference ed25519_VerifySignature (ed25519_verify.c:163-173)."""
+    return verify_check(verify_init(pk), sig, msg, msg_len=msg_len,
+                        strict=strict)

@@ -70,8 +70,10 @@ def ladder(u, k_bits, zr=None):
     x-coordinate limbs of k*P.
 
     Assumes the scalar is clamped (bit 254 set, bits 0..2 and 255 clear)."""
+    u = fe.vary_like(u, k_bits[..., :u.shape[-1]])
     if zr is None:
         zr = fe.one(u.shape[:-1])
+    zr = fe.vary_like(zr, u)
     # k = 1 state, Z-randomized: P = (u*zr : zr), Q = 2P
     z1 = zr
     x1 = fe.mul(u, zr)

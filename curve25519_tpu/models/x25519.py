@@ -37,8 +37,7 @@ def calculate_public_key_fast(sk, zr=None):
     Reference curve25519_dh_CalculatePublicKey_fast (curve25519_dh.c:162-189)."""
     from curve25519_tpu.models import edwards
     sk = codec.clamp(jnp.asarray(sk, dtype=jnp.uint8))
-    t = fe.from_bytes(sk)  # raw 255-bit scalar limbs (clamped)
-    S = edwards.base_point_mult(t, zr=zr)
+    S = edwards.base_point_mult(codec.scalar_bits(sk), zr=zr)
     num = fe.add(S["z"], S["y"])
     den = fe.sub(S["z"], S["y"])
     u = fe.mul(num, fe.inv(den))

@@ -11,10 +11,29 @@ data-dependent control flow, and therefore is constant-time on TPU by
 construction (the analogue of the reference's branchless discipline,
 source/curve25519_mehdi.c:185-209).
 
-Invariant ("weakly normalized"): limbs[1:] < 2^13 and limbs[0] <= 2^13 + 608.
-Every public op accepts and returns weakly-normalized values, which keeps all
-schoolbook column sums < 2^31 (int32-safe). ``canon`` produces the unique
-canonical representative (< p, fully normalized) for encoding/comparison.
+Carry propagation is *parallel*, not sequential: one step masks every limb
+and adds the shifted carry vector (5 XLA ops total for all limbs — on a CPU
+this would be a loop; on the TPU VPU it is one vector op per term). Limbs
+between ops obey the
+
+    WEAK-ALL INVARIANT:  0 <= limb[i] <= WEAK_MAX = 9500  for every i,
+
+which two parallel carry steps restore from any <= 2^27 column value, and
+which keeps every 20x20 schoolbook column sum <= 20 * 9500^2 < 2^31
+(int32-safe). The wrap-around carry out of limb 19 folds back into limb 0
+with 2^260 = 608 (mod p) — the lazy-reduction analogue of the reference's
+2^256 = 38 trick (source/curve25519_mehdi.c:278-330). Exact bound analysis:
+
+    mul: cols <= 20*9500^2 < 2^30.75
+         one widening carry step    -> digits <= 2^13 + 2^17.75
+         fold high*608              -> 20 digits <= 609 * 2^17.76 < 2^27
+         two wrap carry steps       -> <= 9483   [weak-all]
+    add: sum <= 19000 -> two wrap steps -> <= 9409
+    sub: x - y + PAD (PAD = 4096p with every digit ~2^20 > WEAK_MAX,
+         so limbs stay non-negative) <= 2^20.01 -> two wrap steps -> <= 8800
+
+``canon`` produces the unique canonical representative (< p, fully
+normalized, via an exact sequential carry) for encoding/comparison only.
 """
 
 import jax
@@ -28,20 +47,25 @@ from curve25519_tpu.config import (
 __all__ = [
     "zero", "one", "from_int", "add", "sub", "neg", "mul", "sqr",
     "mul_small_add", "canon", "inv", "pow2523", "is_zero", "eq",
-    "select", "to_bytes", "from_bytes", "sqrt_ratio",
+    "select", "vary_like", "to_bytes", "from_bytes", "sqrt_ratio",
+    "WEAK_MAX",
 ]
+
+WEAK_MAX = 9500
 
 # Static constant limb vectors -------------------------------------------------
 _P_LIMBS = int_to_limbs(P)
 
-# 64*p = 2^261 - 1216 encoded in 20 limbs with an augmented top limb:
-# digit0 = 8191-1215, digits 1..18 = 8191, digit19 = 2^14 - 1.
-# Adding it before a subtraction keeps every intermediate value non-negative
-# (the analogue of the reference's _w_maxP trick, source/curve25519_mehdi.c:119).
-_SUB_PAD = np.full(NLIMBS, MASK, dtype=np.int32)
-_SUB_PAD[0] = MASK - 1215
-_SUB_PAD[19] = (1 << (BITS + 1)) - 1
-assert sum(int(v) << (BITS * i) for i, v in enumerate(_SUB_PAD)) == 64 * P
+# Subtraction pad: 32p with a borrow-raise (+2*2^13 at digit i, -2 at digit
+# i+1) so all digits except the top are >= 2^14 > WEAK_MAX. The top digit
+# (8189) can transiently underflow by <= 1311; the carry ops below use
+# arithmetic shifts and masks, which are floor-exact for signed int32, so a
+# stray -1 digit propagates correctly and two wrap steps restore weak-all
+# (digits in [-1, 9500]).
+_SUB_PAD = np.full(NLIMBS, (1 << 13) - 1 + 16384 - 2, dtype=np.int32)
+_SUB_PAD[0] = (1 << 13) - 1 - 607 + 16384
+_SUB_PAD[19] = (1 << 13) - 1 - 2
+assert sum(int(v) << (BITS * i) for i, v in enumerate(_SUB_PAD)) == 32 * P
 
 
 def _const(v):
@@ -51,14 +75,39 @@ def _const(v):
 # ---------------------------------------------------------------------------
 # Carry propagation
 # ---------------------------------------------------------------------------
-def _carry(x, ncols):
-    """One signed sequential carry pass over the last axis.
+def _pcarry_widen(x):
+    """One parallel carry step over the last axis, widening by one limb.
+    value preserved exactly; output digits <= 2^13 - 1 + max_carry_in."""
+    lo = x & MASK
+    c = x >> BITS
+    z = jnp.zeros(x.shape[:-1] + (1,), jnp.int32)
+    return jnp.concatenate([lo, z], -1) + jnp.concatenate([z, c], -1)
 
-    Returns (digits, carry_out) where digits are in [0, 2^13) and
-    ``value(x) == value(digits) + carry_out * 2^(13*ncols)``. Works for
-    negative intermediates: ``t >> 13`` is an arithmetic shift (floor div) and
-    ``t & MASK`` extracts the matching non-negative digit.
-    """
+
+def _pcarry_wrap(x):
+    """One parallel carry step on 20 limbs with the 2^260 -> 608 wrap fold.
+    Value preserved mod p."""
+    lo = x & MASK
+    c = x >> BITS
+    wrap = jnp.concatenate([c[..., -1:] * FOLD, c[..., :-1]], -1)
+    return lo + wrap
+
+
+def _reduce20(cols):
+    """Two wrap carry steps: any |column| <= 2^27 -> weak-all limbs."""
+    return _pcarry_wrap(_pcarry_wrap(cols))
+
+
+def _reduce_product(cols):
+    """Reduce 39 schoolbook columns (each < 2^30.75) to weak-all form."""
+    d = _pcarry_widen(cols)                      # [..., 40], digits <= 2^17.76
+    r = d[..., :NLIMBS] + FOLD * d[..., NLIMBS:]  # <= 609 * 2^17.76 < 2^27
+    return _reduce20(r)
+
+
+def _carry_seq(x, ncols):
+    """Exact sequential signed carry (canonicalization paths only).
+    Returns (digits in [0, 2^13), carry_out)."""
     c = jnp.zeros(x.shape[:-1], dtype=jnp.int32)
     outs = []
     for i in range(ncols):
@@ -66,27 +115,6 @@ def _carry(x, ncols):
         outs.append(t & MASK)
         c = t >> BITS
     return jnp.stack(outs, axis=-1), c
-
-
-def _reduce20(cols):
-    """Reduce 20 (possibly large/negative, |digit| < 2^30.5) columns to a
-    weakly-normalized element. Two carry passes with 608-folds between them."""
-    d, c = _carry(cols, NLIMBS)
-    d = d.at[..., 0].add(FOLD * c)
-    d, c = _carry(d, NLIMBS)
-    return d.at[..., 0].add(FOLD * c)  # c in {0, 1} here
-
-
-def _reduce_product(cols):
-    """Reduce 39 schoolbook columns (each < 2^30.5) to weak-normal form.
-
-    First pass normalizes all 39 columns exactly (the value < 2^520 so the
-    final carry-out is bounded by ~2^13); the high 260 bits are folded down
-    with 2^260 = 608 (mod p), then _reduce20 finishes.
-    """
-    d, c = _carry(cols, 2 * NLIMBS - 1)
-    high = jnp.concatenate([d[..., NLIMBS:], c[..., None]], axis=-1)
-    return _reduce20(d[..., :NLIMBS] + FOLD * high)
 
 
 # ---------------------------------------------------------------------------
@@ -122,13 +150,20 @@ def neg(y):
 def _mul_cols(x, y):
     """Schoolbook product columns: cols[k] = sum_{i+j=k} x_i * y_j.
 
-    Row-accumulation form (the vectorized analogue of the reference's
-    ecp_mul_set/ecp_mul_add row ops, curve25519_mehdi.c:91-101)."""
-    cols = jnp.zeros(jnp.broadcast_shapes(x.shape[:-1], y.shape[:-1])
-                     + (2 * NLIMBS - 1,), dtype=jnp.int32)
-    for i in range(NLIMBS):
-        cols = cols.at[..., i:i + NLIMBS].add(x[..., i:i + 1] * y)
-    return cols
+    Anti-diagonal sums of the outer product via the pad/flatten/reshape shear
+    (row i of the [N, N] outer product lands shifted by i in a [N, 2N-1]
+    matrix) — static-shape ops only, one fused vectorized kernel under XLA.
+    Replaces the reference's sequential row accumulation
+    (ecp_mul_set/ecp_mul_add, curve25519_mehdi.c:91-101)."""
+    n = NLIMBS
+    batch = jnp.broadcast_shapes(x.shape[:-1], y.shape[:-1])
+    outer = x[..., :, None] * y[..., None, :]           # [..., n, n]
+    outer = jnp.broadcast_to(outer, batch + (n, n))
+    padded = jnp.concatenate(
+        [outer, jnp.zeros(batch + (n, n), jnp.int32)], axis=-1)
+    flat = padded.reshape(batch + (2 * n * n,))[..., :2 * n * n - n]
+    sheared = flat.reshape(batch + (n, 2 * n - 1))
+    return jnp.sum(sheared, axis=-2)
 
 
 def mul(x, y):
@@ -145,13 +180,22 @@ def mul_small_add(x, c, y):
     """z = x + c * y (mod p) for a small static constant c (c <= ~2^17).
 
     Reference ecp_WordMulAddReduce (curve25519_mehdi.c:243), used by the
-    Montgomery ladder for the 121665 multiply."""
-    return _reduce20(x + c * y)
+    Montgomery ladder for the 121665 multiply. Bound: x + c*y <= 2^30.2."""
+    d = _pcarry_widen(x + c * y)                 # [..., 21]
+    r = d[..., :NLIMBS].at[..., 0].add(FOLD * d[..., NLIMBS])
+    return _reduce20(r)
 
 
 def select(mask, a, b):
     """Branchless select: a where mask else b. mask shape = batch shape."""
     return jnp.where(mask[..., None], a, b)
+
+
+def vary_like(x, ref):
+    """Numerical no-op that gives x the same device-variance (shard_map vma)
+    as ref, so replicated constants (blinders, table entries) can enter scan
+    carries alongside sharded batch data."""
+    return x + (ref - ref)
 
 
 # ---------------------------------------------------------------------------
@@ -161,17 +205,18 @@ def canon(x):
     """Full reduction to the canonical representative in [0, p).
 
     Reference ecp_Mod (curve25519_mehdi.c:185-209): branchless double
-    conditional subtract. Here: estimate q = value >> 255 from the top limb,
-    subtract q*p (always non-negative), then one conditional subtract of p.
-    """
-    d, c = _carry(x, NLIMBS)
+    conditional subtract. Weak-all input value < 1.17 * 2^260, so the first
+    exact carry's overflow c is in {0, 1}; after folding it, estimate
+    q = value >> 255 from the top limb, subtract q*p (always non-negative),
+    then one conditional subtract of p."""
+    d, c = _carry_seq(x, NLIMBS)
     d = d.at[..., 0].add(FOLD * c)
-    d, _ = _carry(d, NLIMBS)              # value < 2^260, fully normalized
+    d, _ = _carry_seq(d, NLIMBS)          # value < 2^260, fully normalized
     q = d[..., 19] >> 8                   # bits 255.. of the value (0..31)
     t = d - q[..., None] * _const(_P_LIMBS)
-    td, _ = _carry(t, NLIMBS)             # value in [0, 2^255 + 589)
+    td, _ = _carry_seq(t, NLIMBS)         # value in [0, 2^255 + 589)
     u = td - _const(_P_LIMBS)
-    ud, uc = _carry(u, NLIMBS)            # uc == -1 iff value < p
+    ud, uc = _carry_seq(u, NLIMBS)        # uc == -1 iff value < p
     return jnp.where((uc == 0)[..., None], ud, td)
 
 
@@ -186,37 +231,47 @@ def eq(x, y):
 
 
 # ---------------------------------------------------------------------------
-# Inversion / exponentiation
+# Inversion / exponentiation (DJB addition chains, as in the reference)
 # ---------------------------------------------------------------------------
-def _pow_const(x, e):
-    """x^e for a static exponent via left-to-right square-and-multiply scan.
+def _sqr_times(x, n):
+    """x^(2^n) via a fori_loop of squarings."""
+    return jax.lax.fori_loop(0, n, lambda _, t: sqr(t), x)
 
-    The reference uses DJB's 254-squaring addition chain
-    (curve25519_mehdi.c:340); on TPU a `lax.scan` over the exponent bits keeps
-    the traced graph small while remaining branch-free (the multiply is always
-    computed; a `where` selects it in)."""
-    nbits = e.bit_length()
-    bits = jnp.asarray([(e >> i) & 1 for i in range(nbits - 2, -1, -1)],
-                       dtype=jnp.int32)
 
-    def body(t, bit):
-        t = sqr(t)
-        return select(jnp.full(t.shape[:-1], bit, jnp.int32) == 1,
-                      mul(t, x), t), None
-
-    t, _ = jax.lax.scan(body, x, bits)
-    return t
+def _chain_2_250(x):
+    """Returns (x^(2^250 - 1), x^11, x^(2^50 - 1)). The shared prefix of the
+    p-2 and (p-5)/8 addition chains (reference ecp_Inverse,
+    curve25519_mehdi.c:340 and ecp_ModExp2523, ed25519_verify.c:116-135)."""
+    x2 = sqr(x)                                   # 2
+    x9 = mul(sqr(sqr(x2)), x)                     # 9
+    x11 = mul(x9, x2)                             # 11
+    x31 = mul(sqr(x11), x9)                       # 2^5 - 1
+    t = mul(_sqr_times(x31, 5), x31)              # 2^10 - 1
+    x10 = t
+    t = mul(_sqr_times(t, 10), t)                 # 2^20 - 1
+    t = mul(_sqr_times(t, 20), t)                 # 2^40 - 1
+    t = mul(_sqr_times(t, 10), x10)               # 2^50 - 1
+    x50 = t
+    t = mul(_sqr_times(t, 50), t)                 # 2^100 - 1
+    t = mul(_sqr_times(t, 100), t)                # 2^200 - 1
+    t = mul(_sqr_times(t, 50), x50)               # 2^250 - 1
+    return t, x11, x50
 
 
 def inv(x):
-    """x^(p-2) = 1/x (mod p), reference ecp_Inverse (curve25519_mehdi.c:340)."""
-    return _pow_const(x, P - 2)
+    """x^(p-2) = 1/x (mod p) via the 254-squaring addition chain
+    (reference ecp_Inverse, curve25519_mehdi.c:340)."""
+    t, x11, _ = _chain_2_250(x)
+    # p - 2 = (2^250 - 1) * 2^5 + 11
+    return mul(_sqr_times(t, 5), x11)
 
 
 def pow2523(x):
     """x^(2^252 - 3) = x^((p-5)/8), reference ecp_ModExp2523
-    (ed25519_verify.c:116-135). Used for square roots in point decompression."""
-    return _pow_const(x, (P - 5) // 8)
+    (ed25519_verify.c:116-135). Used for square roots in decompression."""
+    t, _, _ = _chain_2_250(x)
+    # 2^252 - 3 = (2^250 - 1) * 4 + 1
+    return mul(_sqr_times(t, 2), x)
 
 
 def sqrt_ratio(u, v):
@@ -231,7 +286,6 @@ def sqrt_ratio(u, v):
     a = mul(u, v3)                    # u*v^3
     b = mul(a, sqr(v2))               # u*v^7
     x = mul(pow2523(b), a)
-    # check x^2 * v == u ?
     chk = sub(mul(sqr(x), v), u)
     good = is_zero(chk)
     x = select(good, x, mul(x, from_int(SQRT_M1)))

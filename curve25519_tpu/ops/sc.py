@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from curve25519_tpu.config import BITS, ELL, NLIMBS, int_to_limbs
-from curve25519_tpu.ops.fe import _carry, _mul_cols, select
+from curve25519_tpu.ops.fe import _carry_seq as _carry, _mul_cols, select
 
 __all__ = [
     "from_int", "add", "sub_from_ell", "mul", "mod", "from_digest",

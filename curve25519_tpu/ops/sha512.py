@@ -189,6 +189,9 @@ def sha512(msg, length=None):
     words = jnp.sum(blocks * weights, axis=-1)       # [..., nb, 16, 2]
 
     state0 = jnp.broadcast_to(jnp.asarray(_H0_HL), batch_shape + (8, 2))
+    # match device-variance with the message data (shard_map scan carries)
+    vary = (words[..., :1, :1, :1] ^ words[..., :1, :1, :1])
+    state0 = state0 ^ vary[..., 0, :, :]
 
     # scan over blocks; inactive blocks are masked out
     words_scan = jnp.moveaxis(words, len(batch_shape), 0)  # [nb, ..., 16, 2]
@@ -214,11 +217,15 @@ def sha512(msg, length=None):
 # Host-side convenience (single message / streaming)
 # ---------------------------------------------------------------------------
 def sha512_bytes(data: bytes) -> bytes:
-    """Hash one host-side byte string through the batched kernel."""
-    arr = jnp.asarray(np.frombuffer(data, dtype=np.uint8))[None, :] \
-        if data else jnp.zeros((1, 0), jnp.uint8)
-    out = sha512(arr, jnp.asarray([len(data)], jnp.int32))
-    return bytes(np.asarray(out)[0].tolist())
+    """Hash one host-side byte string through the batched kernel.
+
+    Pinned to CPU: this is a host utility (tools/RNG); pushing one small hash
+    through the accelerator would pay a compile + transfer for nothing."""
+    with jax.default_device(jax.devices("cpu")[0]):
+        arr = jnp.asarray(np.frombuffer(data, dtype=np.uint8))[None, :] \
+            if data else jnp.zeros((1, 0), jnp.uint8)
+        out = sha512(arr, jnp.asarray([len(data)], jnp.int32))
+        return bytes(np.asarray(out)[0].tolist())
 
 
 class Sha512:

@@ -17,3 +17,8 @@ import jax  # noqa: E402
 
 jax.config.update("jax_default_device", jax.devices("cpu")[0])
 jax.config.update("jax_platform_name", "cpu")
+
+# Persistent compilation cache: the suite's cost is dominated by XLA compiles
+# of the scan-heavy ladder/sign/verify graphs; cache them across runs.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_curve25519")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

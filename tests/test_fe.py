@@ -32,8 +32,28 @@ def unpack_canon(x):
 
 def assert_weak(x):
     x = np.asarray(x)
-    assert (x[..., 1:] <= MASK).all() and (x[..., 1:] >= 0).all()
-    assert (x[..., 0] <= MASK + 608).all() and (x[..., 0] >= 0).all()
+    assert (x >= -1).all() and (x <= fe.WEAK_MAX).all()
+
+
+def test_bound_stress():
+    # adversarial chain: alternating sub/mul/add at extreme values must keep
+    # limbs in [-1, WEAK_MAX] and track python-int semantics exactly
+    vals = [0, 1, P - 1, P - 2, 2**255 - 1 - P, P // 2] + rand_ints(10)
+    ref = list(vals)
+    x = pack(vals)
+    y = pack(list(reversed(vals)))
+    refy = list(reversed(ref))
+    for step in range(12):
+        x2 = fe.sub(x, y)
+        y2 = fe.mul(fe.add(x, y), x2)
+        x, y = x2, fe.add(y2, y2)
+        ref2 = [(a - b) % P for a, b in zip(ref, refy)]
+        refy = [(2 * ((a + b) * c)) % P for a, b, c in zip(ref, refy, ref2)]
+        ref = ref2
+        assert_weak(x)
+        assert_weak(y)
+    assert unpack_canon(x) == ref
+    assert unpack_canon(y) == refy
 
 
 @pytest.mark.parametrize("op,ref", [

@@ -1,0 +1,85 @@
+"""Algebraic self-test identities, mirroring the reference selftest suite
+(test/curve25519_selftest.c): order-of-base-point laws, split-key ECDH,
+dual-point-multiply identities, and table regeneration from first principles."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from curve25519_tpu import refmodel
+from curve25519_tpu.config import ELL, P, int_to_limbs, limbs_to_int
+from curve25519_tpu.models import edwards, tables
+from curve25519_tpu.ops import codec, fe
+
+rng = np.random.default_rng(21)
+
+
+def _bits_of_int(k, batch=None):
+    b = jnp.asarray(np.frombuffer(int(k).to_bytes(32, "little"), np.uint8))
+    if batch is not None:
+        b = jnp.broadcast_to(b, (batch, 32))
+    return codec.scalar_bits(b)
+
+
+def _affine_ints(S):
+    x, y = edwards.to_affine(S)
+    return (limbs_to_int(np.asarray(fe.canon(x)).reshape(-1)),
+            limbs_to_int(np.asarray(fe.canon(y)).reshape(-1)))
+
+
+def test_order_times_base_is_identity():
+    # l*G == identity and (l-1)*G == -G  (selftest :752-767)
+    S = edwards.base_point_mult(_bits_of_int(ELL))
+    assert _affine_ints(S) == refmodel.IDENTITY
+    S = edwards.base_point_mult(_bits_of_int(ELL - 1))
+    gx, gy = refmodel.BASE
+    assert _affine_ints(S) == (P - gx, gy)       # -G
+
+
+def test_split_key_ecdh():
+    # k1*k2 == 1 (mod l)  =>  k2*(k1*G) == G  (selftest :786-817)
+    k1 = int.from_bytes(rng.bytes(32), "little") % ELL or 1
+    k2 = pow(k1, ELL - 2, ELL)
+    p1 = refmodel.base_mult(k1)
+    S = edwards.base_point_mult(_bits_of_int(k2))  # k2*G
+    # check k2*(k1*G) via the oracle against our k2*G composed with oracle k1
+    assert refmodel.scalar_mult(k1, _affine_ints(S)) == refmodel.BASE
+    assert refmodel.scalar_mult(k2, p1) == refmodel.BASE
+
+
+def test_folding_table_regeneration():
+    # the 256-entry table must equal subset sums computed independently
+    # (selftest pre_compute_base_folding8, :498-551)
+    t = tables.folding8_table()
+    for idx in [0, 1, 2, 3, 17, 128, 255]:
+        acc = refmodel.IDENTITY
+        g = refmodel.BASE
+        for i in range(8):
+            if (idx >> i) & 1:
+                acc = refmodel.ed_add(acc, g)
+            for _ in range(32):
+                g = refmodel.ed_double(g)
+        x, y = acc
+        assert limbs_to_int(t[idx, 0]) == (y + x) % P
+        assert limbs_to_int(t[idx, 1]) == (y - x) % P
+
+
+def test_scalar_mult_linearity():
+    # (a+b)*G == a*G + b*G for random a, b (dual-point identity class,
+    # selftest :969-983)
+    a = int.from_bytes(rng.bytes(32), "little") % ELL
+    b = int.from_bytes(rng.bytes(32), "little") % ELL
+    Sa = edwards.base_point_mult(_bits_of_int(a))
+    Sab = edwards.base_point_mult(_bits_of_int((a + b) % ELL))
+    sum_pt = refmodel.ed_add(_affine_ints(Sa), refmodel.base_mult(b))
+    assert _affine_ints(Sab) == sum_pt
+
+
+def test_edwards_mixed_form_consistency():
+    # add_pe(P, to_pe(Q)) == add_pa(P, pa(Q)) == oracle P+Q for affine Q
+    k1 = 12345678901234567890
+    k2 = 98765432109876543210
+    Pq = edwards.base_point_mult(_bits_of_int(k1))
+    Qq = edwards.base_point_mult(_bits_of_int(k2))
+    r1 = edwards.add_pe(Pq, edwards.to_pe(Qq))
+    expect = refmodel.ed_add(refmodel.base_mult(k1), refmodel.base_mult(k2))
+    assert _affine_ints(r1) == expect

@@ -1,0 +1,45 @@
+"""Multi-device batch sharding on the virtual 8-CPU mesh: results must be
+identical to single-device, and the psum'd counters must be global."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from curve25519_tpu.parallel import mesh as pmesh
+from curve25519_tpu.models import x25519
+
+rng = np.random.default_rng(17)
+
+
+@pytest.fixture(scope="module")
+def cpu_mesh():
+    devs = jax.devices("cpu")
+    if len(devs) < 8:
+        pytest.skip("need 8 virtual cpu devices")
+    return pmesh.make_mesh(devs[:8])
+
+
+def test_sharded_matches_single_device(cpu_mesh):
+    B = 16
+    sk = jnp.asarray(rng.integers(0, 256, (B, 32), dtype=np.uint8))
+    pk_single = x25519.calculate_public_key(sk)
+    sk_sharded = pmesh.shard_batch(sk, cpu_mesh)
+    pk_sharded = jax.jit(x25519.calculate_public_key)(sk_sharded)
+    assert np.array_equal(np.asarray(pk_single), np.asarray(pk_sharded))
+
+
+def test_mixed_pipeline_psum_counters(cpu_mesh):
+    B, L = 16, 8
+    sk_a = pmesh.shard_batch(
+        jnp.asarray(rng.integers(0, 256, (B, 32), dtype=np.uint8)), cpu_mesh)
+    sk_b = pmesh.shard_batch(
+        jnp.asarray(rng.integers(0, 256, (B, 32), dtype=np.uint8)), cpu_mesh)
+    msgs = pmesh.shard_batch(
+        jnp.asarray(rng.integers(0, 256, (B, L), dtype=np.uint8)), cpu_mesh)
+    step = pmesh.mixed_throughput_step(cpu_mesh)
+    ok, ops, shared = step(sk_a, sk_b, msgs)
+    assert int(ops) == 2 * B
+    assert int(ok) == 2 * B
+    # shared output stays sharded over the mesh
+    assert shared.sharding.spec == jax.sharding.PartitionSpec("dp")
