@@ -23,11 +23,11 @@ def main():
     from curve25519_tpu.models import x25519
 
     rng = np.random.default_rng(0)
-    B = 4096
+    B = 65536
     sk = jnp.asarray(rng.integers(0, 256, (B, 32), dtype=np.uint8))
     peer = jnp.asarray(rng.integers(0, 256, (B, 32), dtype=np.uint8))
 
-    fn = jax.jit(x25519.create_shared_key)
+    fn = jax.jit(x25519.create_shared_key)   # auto-routes to the Pallas kernel
     np.asarray(fn(peer, sk))         # compile + warm + hard sync
     # The axon tunnel's block_until_ready doesn't actually block, so timing
     # uses a serial dependency chain (each call consumes the previous result)

@@ -1,0 +1,123 @@
+"""In-kernel field arithmetic on VPU-tiled limb tensors.
+
+This is the Pallas counterpart of curve25519_tpu.ops.fe, operating on values
+of shape ``[NLIMBS, S, L]`` where (S, L) = (8, 128) is a full VPU tile: every
+limb row is one native vector op for 1024 batch lanes. The radix, bounds, and
+carry scheme are identical to ops/fe.py (weak-all invariant, parallel carries,
+2^260 = 608 fold) — see that module's docstring for the bound analysis. The
+reference anchors are the same (source/curve25519_mehdi.c field core).
+
+These helpers take/return plain jnp values (registers/VMEM-resident inside a
+kernel); they contain no pallas_call themselves.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from curve25519_tpu.config import BITS, FOLD, MASK, NLIMBS
+
+TILE_S = 8
+TILE_L = 128
+TILE_BATCH = TILE_S * TILE_L
+
+
+def zeros_like_row(x):
+    return jnp.zeros_like(x[0])
+
+
+def t_add(x, y):
+    """z = x + y mod p (weak-all in/out)."""
+    return _carry2(x + y)
+
+
+def t_sub(x, y, pad):
+    """z = x - y mod p; `pad` is the 32p borrow-raised pad broadcast to
+    [NLIMBS, 1, 1] (see fe._SUB_PAD)."""
+    return _carry2(x - y + pad)
+
+
+def _carry2(r):
+    for _ in range(2):
+        lo = r & MASK
+        c = r >> BITS
+        wrap = jnp.concatenate([c[-1:] * FOLD, c[:-1]], axis=0)
+        r = lo + wrap
+    return r
+
+
+def _reduce_cols(cols):
+    """cols: [2*NLIMBS-1, S, L] schoolbook columns -> weak-all limbs."""
+    lo = cols & MASK
+    c = cols >> BITS
+    z = jnp.zeros_like(cols[:1])
+    d = jnp.concatenate([lo, z], 0) + jnp.concatenate([z, c], 0)  # [40,S,L]
+    r = d[:NLIMBS] + FOLD * d[NLIMBS:]
+    return _carry2(r)
+
+
+def t_mul(x, y):
+    """z = x * y mod p. 400 tile-mults + column adds, fully unrolled —
+    each term is one VPU op over the (8,128) tile."""
+    n = NLIMBS
+    cols = [None] * (2 * n - 1)
+    for i in range(n):
+        xi = x[i]
+        row = xi[None] * y                       # [n, S, L]
+        for j in range(n):
+            k = i + j
+            cols[k] = row[j] if cols[k] is None else cols[k] + row[j]
+    return _reduce_cols(jnp.stack(cols, axis=0))
+
+
+def t_sqr(x):
+    """z = x^2 mod p using the symmetric shortcut: ~210 tile-mults."""
+    n = NLIMBS
+    cols = [None] * (2 * n - 1)
+
+    def acc(k, v):
+        cols[k] = v if cols[k] is None else cols[k] + v
+
+    for i in range(n):
+        acc(2 * i, x[i] * x[i])
+        for j in range(i + 1, n):
+            t = x[i] * x[j]
+            acc(i + j, t + t)
+    return _reduce_cols(jnp.stack(cols, axis=0))
+
+
+def t_mul_small_add(x, c, y):
+    """z = x + c*y mod p for small static c (<= ~2^17)."""
+    t = x + c * y                                # <= 2^30.2
+    lo = t & MASK
+    cr = t >> BITS
+    z = jnp.zeros_like(t[:1])
+    d = jnp.concatenate([lo, z], 0) + jnp.concatenate([z, cr], 0)  # [21,S,L]
+    r = jnp.concatenate([d[0:1] + FOLD * d[NLIMBS:], d[1:NLIMBS]], 0)
+    return _carry2(r)
+
+
+def t_select(mask, a, b):
+    """mask: [S, L] (or broadcastable) int/bool; a where mask else b."""
+    return jnp.where(mask[None] != 0, a, b)
+
+
+def t_sqr_times(x, n):
+    return jax.lax.fori_loop(0, n, lambda _, t: t_sqr(t), x)
+
+
+def t_inv(x):
+    """1/x via the 254-squaring DJB chain (cf. fe.inv)."""
+    x2 = t_sqr(x)
+    x9 = t_mul(t_sqr(t_sqr(x2)), x)
+    x11 = t_mul(x9, x2)
+    x31 = t_mul(t_sqr(x11), x9)
+    t = t_mul(t_sqr_times(x31, 5), x31)          # 2^10 - 1
+    x10 = t
+    t = t_mul(t_sqr_times(t, 10), t)             # 2^20 - 1
+    t = t_mul(t_sqr_times(t, 20), t)             # 2^40 - 1
+    t = t_mul(t_sqr_times(t, 10), x10)           # 2^50 - 1
+    x50 = t
+    t = t_mul(t_sqr_times(t, 50), t)             # 2^100 - 1
+    t = t_mul(t_sqr_times(t, 100), t)            # 2^200 - 1
+    t = t_mul(t_sqr_times(t, 50), x50)           # 2^250 - 1
+    return t_mul(t_sqr_times(t, 5), x11)

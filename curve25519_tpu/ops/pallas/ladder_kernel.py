@@ -1,0 +1,159 @@
+"""Pallas X25519 ladder kernel: the whole 254-step Montgomery ladder plus the
+final field inversion in one kernel launch, with all state resident in VMEM.
+
+Rationale (see /opt/skills/guides/pallas_guide.md): the jnp ladder runs ~2500
+field multiplies as separate XLA ops whose [B, 20] operands keep the 20-limb
+axis on the 128-lane minor dimension (6.4x lane waste) and round-trip HBM
+between scan steps. Here each kernel block owns TILE_BATCH = 1024 ladder
+lanes laid out as [NLIMBS, 8, 128] — one full VPU tile per limb row — and the
+entire ladder runs out of VMEM (~1 MB live state per block).
+
+Equivalent of reference ecp_PointMultiply (source/curve25519_dh.c:94-157);
+same fixed-iteration structure and branchless conditional swap as
+models/montgomery.py.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from curve25519_tpu.config import A24, BITS, NLIMBS
+from curve25519_tpu.ops import codec, fe
+from curve25519_tpu.ops.pallas import fe_tile as ft
+
+__all__ = ["ladder_tiled", "point_multiply_pallas"]
+
+def _make_pad():
+    """Build the 32p subtraction pad in-kernel from scalars (Pallas kernels
+    cannot capture array constants). Three distinct limb values: see
+    fe._SUB_PAD."""
+    v = np.asarray(fe._SUB_PAD)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (NLIMBS, 1, 1), 0)
+    pad = jnp.full((NLIMBS, 1, 1), int(v[1]), jnp.int32)
+    pad = jnp.where(rows == 0, int(v[0]), pad)
+    return jnp.where(rows == NLIMBS - 1, int(v[NLIMBS - 1]), pad)
+
+
+def _ladder_kernel(u_ref, k_ref, zr_ref, out_ref):
+    u = u_ref[0]
+    zr = zr_ref[0]
+    pad = _make_pad()
+
+    # initial state at key bit 254 (always set for clamped keys):
+    # P = (u*zr : zr), Q = 2P  (cf. curve25519_dh.c:117-125)
+    x3 = ft.t_mul(u, zr)
+    z3 = zr
+    a = ft.t_add(x3, z3)
+    aa = ft.t_sqr(a)
+    b = ft.t_sub(x3, z3, pad)
+    bb = ft.t_sqr(b)
+    x2 = ft.t_mul(aa, bb)
+    e = ft.t_sub(aa, bb, pad)
+    z2 = ft.t_mul(e, ft.t_mul_small_add(aa, A24, e))
+    # state: (x2,z2) = 2G', (x3,z3) = 1G' -> note roles: lo must track kG
+    # at k=1: lo = (x3,z3); keep (lo, hi) ordering explicit:
+    lo_x, lo_z, hi_x, hi_z = x3, z3, x2, z2
+
+    def step(t, st):
+        lo_x, lo_z, hi_x, hi_z = st
+        i = 253 - t
+        # dynamic limb load from the ref (values don't support dynamic_slice
+        # in Mosaic; refs do)
+        limb = k_ref[0, i // BITS]               # [S, L]
+        bit = (limb >> (i % BITS)) & 1           # [S, L]
+
+        x2 = ft.t_select(bit, hi_x, lo_x)
+        x3 = ft.t_select(bit, lo_x, hi_x)
+        z2 = ft.t_select(bit, hi_z, lo_z)
+        z3 = ft.t_select(bit, lo_z, hi_z)
+
+        a = ft.t_add(x2, z2)
+        aa = ft.t_sqr(a)
+        b = ft.t_sub(x2, z2, pad)
+        bb = ft.t_sqr(b)
+        e = ft.t_sub(aa, bb, pad)
+        c = ft.t_add(x3, z3)
+        d = ft.t_sub(x3, z3, pad)
+        da = ft.t_mul(d, a)
+        cb = ft.t_mul(c, b)
+        x3n = ft.t_sqr(ft.t_add(da, cb))
+        z3n = ft.t_mul(u, ft.t_sqr(ft.t_sub(da, cb, pad)))
+        x2n = ft.t_mul(aa, bb)
+        z2n = ft.t_mul(e, ft.t_mul_small_add(aa, A24, e))
+
+        lo_x = ft.t_select(bit, x3n, x2n)
+        hi_x = ft.t_select(bit, x2n, x3n)
+        lo_z = ft.t_select(bit, z3n, z2n)
+        hi_z = ft.t_select(bit, z2n, z3n)
+        return (lo_x, lo_z, hi_x, hi_z)
+
+    lo_x, lo_z, _, _ = jax.lax.fori_loop(
+        0, 254, step, (lo_x, lo_z, hi_x, hi_z))
+
+    out_ref[0] = ft.t_mul(lo_x, ft.t_inv(lo_z))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def ladder_tiled(u_t, k_t, zr_t, interpret=False):
+    """u_t, k_t, zr_t: [G, NLIMBS, 8, 128] int32 tiled limb tensors.
+    Returns the affine x limbs in the same tiling."""
+    g = u_t.shape[0]
+    spec = pl.BlockSpec((1, NLIMBS, ft.TILE_S, ft.TILE_L),
+                        lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _ladder_kernel,
+        grid=(g,),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct(u_t.shape, jnp.int32),
+        interpret=interpret,
+    )(u_t, k_t, zr_t)
+
+
+def _tile(x, g):
+    """[B, NLIMBS] -> [G, NLIMBS, 8, 128]."""
+    return x.reshape(g, ft.TILE_S, ft.TILE_L, NLIMBS).transpose(0, 3, 1, 2)
+
+
+def _untile(x_t):
+    g = x_t.shape[0]
+    return x_t.transpose(0, 2, 3, 1).reshape(g * ft.TILE_BATCH, NLIMBS)
+
+
+def point_multiply_pallas(point_bytes, sk_bytes, zr=None, interpret=False):
+    """Drop-in batched Q = k*P on 32-byte encodings via the Pallas kernel.
+
+    Requires a flat batch; pads it to a multiple of TILE_BATCH (1024)
+    internally. Semantics identical to models.montgomery.point_multiply."""
+    point_bytes = jnp.asarray(point_bytes, jnp.uint8)
+    sk = codec.clamp(jnp.asarray(sk_bytes, jnp.uint8))
+    if point_bytes.ndim == 1:
+        point_bytes = point_bytes[None]
+    if sk.ndim == 1:
+        sk = sk[None]
+    b = max(point_bytes.shape[0], sk.shape[0])
+    point_bytes = jnp.broadcast_to(point_bytes, (b, 32))
+    sk = jnp.broadcast_to(sk, (b, 32))
+
+    bp = ((b + ft.TILE_BATCH - 1) // ft.TILE_BATCH) * ft.TILE_BATCH
+    g = bp // ft.TILE_BATCH
+    point_bytes = jnp.concatenate(
+        [point_bytes, jnp.zeros((bp - b, 32), jnp.uint8)], 0)
+    sk_p = jnp.concatenate([sk, jnp.zeros((bp - b, 32), jnp.uint8)], 0)
+    sk_p = codec.clamp(sk_p)  # keep pad lanes well-formed (bit 254 set)
+
+    point_bytes = point_bytes.at[..., 31].set(point_bytes[..., 31] & 0x7F)
+    u = fe.from_bytes(point_bytes)
+    k = fe.from_bytes(sk_p)
+    if zr is None:
+        zr_l = fe.one((bp,))
+    else:
+        zr_l = jnp.broadcast_to(zr, (bp, NLIMBS))
+    out_t = ladder_tiled(_tile(u, g), _tile(k, g), _tile(zr_l, g),
+                         interpret=interpret)
+    x = _untile(out_t)[:b]
+    return fe.to_bytes(x)
