@@ -1,0 +1,104 @@
+"""Tracing / profiling utilities — the TPU equivalent of the reference's
+cycle-accurate micro-benchmarking (reference: readTSC via rdtscp,
+source/asm64/amd64.gnu/Tsc.s:27-31; min-of-N with TSC-overhead subtraction,
+test/curve25519_test.c:159-166).
+
+On TPU the measurement unit is wall-clock per batched op, so the discipline
+becomes: compile + warm first, then best-of-N timed repetitions closed by a
+host fetch (a sync barrier), reported as ops/s and ns/op. `trace()` wraps
+jax.profiler for kernel-level inspection in Perfetto/XProf.
+"""
+
+import contextlib
+import json
+import time
+
+import numpy as np
+
+__all__ = ["bench", "trace", "Counter", "timed"]
+
+
+def bench(fn, *args, reps=8, rounds=3, warmup=True):
+    """Best-of-`rounds` mean-of-`reps` timing of fn(*args).
+
+    Returns seconds per call. Mirrors the reference speed_test discipline
+    (min over repetitions, measurement overhead excluded by amortizing a
+    serial chain of `reps` calls per timed region). The chain feeds each
+    call's first argument from the previous result when shapes allow, so a
+    non-blocking dispatch queue cannot finish early; otherwise falls back to
+    a host fetch per round.
+    """
+    out = fn(*args)
+    if warmup:
+        np.asarray(jax_leaf(out))
+    chainable = (
+        isinstance(out, type(args[0])) and hasattr(out, "shape")
+        and hasattr(args[0], "shape") and out.shape == args[0].shape
+        and out.dtype == args[0].dtype) if args else False
+    best = float("inf")
+    for _ in range(rounds):
+        if chainable:
+            first = args[0]
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                first = fn(first, *args[1:])
+            np.asarray(jax_leaf(first))
+        else:
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                r = fn(*args)
+            np.asarray(jax_leaf(r))
+        best = min(best, (time.perf_counter() - t0) / reps)
+    return best
+
+
+def jax_leaf(tree):
+    """First array leaf of a pytree (for sync barriers)."""
+    import jax
+    leaves = jax.tree_util.tree_leaves(tree)
+    return leaves[0] if leaves else np.zeros(())
+
+
+@contextlib.contextmanager
+def trace(logdir="/tmp/curve25519_tpu_trace"):
+    """jax.profiler trace context — open the result in XProf/Perfetto.
+    TPU-native replacement for rdtscp cycle windows."""
+    import jax
+    jax.profiler.start_trace(logdir)
+    try:
+        yield logdir
+    finally:
+        jax.profiler.stop_trace()
+
+
+class Counter:
+    """Throughput counter: accumulate (ops, seconds), report ops/s.
+    The multi-device variant is the psum'd op counters in parallel/mesh.py."""
+
+    def __init__(self, name):
+        self.name = name
+        self.ops = 0
+        self.seconds = 0.0
+
+    def add(self, ops, seconds):
+        self.ops += ops
+        self.seconds += seconds
+
+    @property
+    def ops_per_s(self):
+        return self.ops / self.seconds if self.seconds else 0.0
+
+    def json(self, baseline_ops_per_s=None):
+        d = {"metric": self.name, "value": round(self.ops_per_s, 1),
+             "unit": "ops/s"}
+        if baseline_ops_per_s:
+            d["vs_baseline"] = round(self.ops_per_s / baseline_ops_per_s, 3)
+        return json.dumps(d)
+
+
+@contextlib.contextmanager
+def timed(counter, ops):
+    """Time a block and add it to a Counter."""
+    t0 = time.perf_counter()
+    yield
+    counter.add(ops, time.perf_counter() - t0)
