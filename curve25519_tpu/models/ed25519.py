@@ -95,6 +95,17 @@ def _bits_of_limbs(a_limbs):
 
 
 def _affine_base_mult(a_limbs, blinding):
+    from curve25519_tpu.ops.pallas import use_pallas
+    if use_pallas(a_limbs.shape[:-1]):
+        from curve25519_tpu.ops.pallas import edwards_kernel
+        if blinding is not None:
+            t = sc.add(sc.mod(a_limbs), blinding["bl"])
+            return edwards_kernel.base_mult_pallas(
+                codec.scalar_bits(sc.to_bytes(t)), zr=blinding["zr"],
+                bp=blinding["bp"], mode="affine")
+        from curve25519_tpu.models.blinding import default_zr
+        return edwards_kernel.base_mult_pallas(
+            _bits_of_limbs(a_limbs), zr=default_zr(), mode="affine")
     s = _base_mult_blinded(a_limbs, blinding)
     return edwards.to_affine(s)
 

@@ -20,12 +20,7 @@ __all__ = ["calculate_public_key", "calculate_public_key_fast",
            "create_shared_key"]
 
 
-def _use_pallas(shape):
-    """Route large flat TPU batches through the Pallas full-ladder kernel
-    (~14x the scan-based path); everything else uses the portable path.
-    Decided at trace time (shapes and backend are static)."""
-    return (jax.default_backend() == "tpu" and len(shape) == 1
-            and shape[0] >= 1024)
+from curve25519_tpu.ops.pallas import use_pallas as _use_pallas
 
 
 def _base_u(shape):
@@ -46,7 +41,12 @@ def calculate_public_key_fast(sk, zr=None):
     Reference curve25519_dh_CalculatePublicKey_fast (curve25519_dh.c:162-189)."""
     from curve25519_tpu.models import edwards
     sk = codec.clamp(jnp.asarray(sk, dtype=jnp.uint8))
-    S = edwards.base_point_mult(codec.scalar_bits(sk), zr=zr)
+    bits = codec.scalar_bits(sk)
+    if _use_pallas(sk.shape[:-1]):
+        from curve25519_tpu.ops.pallas import edwards_kernel
+        u, _ = edwards_kernel.base_mult_pallas(bits, zr=zr, mode="mont_u")
+        return fe.to_bytes(u)
+    S = edwards.base_point_mult(bits, zr=zr)
     num = fe.add(S["z"], S["y"])
     den = fe.sub(S["z"], S["y"])
     u = fe.mul(num, fe.inv(den))

@@ -1,0 +1,241 @@
+"""Pallas FOLDING-8 Edwards base-point-multiply kernel.
+
+One kernel launch runs the whole folding multiply — 31 x (extended-coord
+double + constant-time table add) — plus the final field inversion, for
+TILE_BATCH = 1024 lanes per grid block, all state resident in VMEM as
+[NLIMBS, 8, 128] tiles (same layout and carry scheme as ladder_kernel.py).
+
+This is the hot path of Ed25519 keygen, the R = r*G half of sign, and the
+folding-accelerated X25519 public-key derivation (reference
+edp_BasePointMult, source/ed25519_sign.c:215-244, and
+x25519_BasePointMultiply, source/curve25519_dh.c:162-179).
+
+The secret-indexed 256-entry table lookup — the reference's acknowledged
+constant-time gap (a data-dependent load, SURVEY.md §3.2) — becomes a
+one-hot bf16 matmul on the MXU: the table's weak-all limbs are split into
+two 7-bit planes (values <= 127, exact in bf16), laid out as a [2*W, 256]
+operand, and each fold step contracts it with the per-lane one-hot
+[256, 1024] matrix. The MXU does the gather while the VPU does the field
+arithmetic; secrets never index memory.
+
+Epilogues (static `mode`):
+- "affine":  returns (X/Z, Y/Z)           — Ed25519 keygen / sign-R
+- "mont_u":  returns u = (Z+Y)/(Z-Y)      — X25519 CalculatePublicKey_fast
+             (birational map, curve25519_dh.c:174-178)
+An optional blinding epilogue adds a per-lane PE point BP, completing
+(a + bl)*G + BP (reference edp_BasePointMultiply, ed25519_sign.c:246-268).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from curve25519_tpu.config import ED_DI, NLIMBS, int_to_limbs
+from curve25519_tpu.ops import fold
+from curve25519_tpu.ops.pallas import fe_tile as ft
+
+__all__ = ["base_mult_tiled", "base_mult_pallas", "folding8_planes_T"]
+
+_W = 64          # 3 coords x 20 limbs = 60, padded to 64 matmul columns
+_CUTS = 32
+
+
+@functools.lru_cache(maxsize=None)
+def _planes_T_np():
+    """[2*_W, 256] f32: the folding8 table, 7-bit plane-split and transposed
+    for the in-kernel one-hot matmul. Row r < _W = lo 7 bits of flattened
+    limb r (coords ypx/ymx/t2d, 20 limbs each); row _W + r = high bits."""
+    from curve25519_tpu.models import tables
+    t = np.asarray(tables.folding8_table()).reshape(256, 3 * NLIMBS)
+    padded = np.zeros((256, _W), np.int32)
+    padded[:, :3 * NLIMBS] = t
+    planes = np.concatenate([padded & 0x7F, padded >> 7], axis=1)  # [256,128]
+    return planes.T.astype(np.float32)
+
+
+def folding8_planes_T():
+    return jnp.asarray(_planes_T_np(), jnp.bfloat16)
+
+
+def _gather_pa(planes, idx):
+    """Constant-time table fetch for all 1024 lanes of one tile.
+
+    planes: [2*_W, 256] bf16; idx: [8, 128] int32 in [0, 256).
+    Returns (ypx, ymx, t2d) limb tiles [NLIMBS, 8, 128] int32. Exact: 7-bit
+    plane values and one-hot entries are both bf16-exact, accumulation is
+    f32 on the MXU."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, (256, ft.TILE_S, ft.TILE_L), 0)
+    oh = (iota == idx[None]).astype(jnp.bfloat16)
+    oh = oh.reshape(256, ft.TILE_BATCH)                       # [256, 1024]
+    flat = jax.lax.dot(planes, oh,
+                       preferred_element_type=jnp.float32)    # [128, 1024]
+    vals = flat.reshape(2 * _W, ft.TILE_S, ft.TILE_L).astype(jnp.int32)
+    limbs = vals[:_W] + (vals[_W:] << 7)
+    return (limbs[:NLIMBS], limbs[NLIMBS:2 * NLIMBS],
+            limbs[2 * NLIMBS:3 * NLIMBS])
+
+
+def _double(st, pad):
+    """Extended-coord doubling, 4M+4S (reference edp_DoublePoint,
+    ed25519_sign.c:122-143), on [NLIMBS, 8, 128] tiles."""
+    x, y, z, t = st
+    a = ft.t_sqr(x)
+    b = ft.t_sqr(y)
+    c = ft.t_sqr(z)
+    c = ft.t_add(c, c)
+    d = ft.t_neg(a, pad)
+    h = ft.t_sub(d, b, pad)
+    g = ft.t_add(d, b)
+    f = ft.t_sub(g, c, pad)
+    e = ft.t_add(ft.t_sqr(ft.t_add(x, y)), h)
+    return (ft.t_mul(e, f), ft.t_mul(h, g), ft.t_mul(g, f), ft.t_mul(e, h))
+
+
+def _add_pa(st, ypx, ymx, t2d, pad):
+    """st + affine precomputed point, 7M (reference edp_AddAffinePoint,
+    ed25519_sign.c:97-115)."""
+    x, y, z, t = st
+    a = ft.t_mul(ft.t_sub(y, x, pad), ymx)
+    b = ft.t_mul(ft.t_add(y, x), ypx)
+    c = ft.t_mul(t, t2d)
+    d = ft.t_add(z, z)
+    e = ft.t_sub(b, a, pad)
+    h = ft.t_add(b, a)
+    f = ft.t_sub(d, c, pad)
+    g = ft.t_add(d, c)
+    return (ft.t_mul(e, f), ft.t_mul(h, g), ft.t_mul(g, f), ft.t_mul(e, h))
+
+
+def _add_pe(st, ypx, ymx, t2d, z2, pad):
+    """st + PE point, 8M (reference edp_AddPoint, ed25519_verify.c:142-161)."""
+    x, y, z, t = st
+    a = ft.t_mul(ft.t_sub(y, x, pad), ymx)
+    b = ft.t_mul(ft.t_add(y, x), ypx)
+    c = ft.t_mul(t, t2d)
+    d = ft.t_mul(z, z2)
+    e = ft.t_sub(b, a, pad)
+    h = ft.t_add(b, a)
+    f = ft.t_sub(d, c, pad)
+    g = ft.t_add(d, c)
+    return (ft.t_mul(e, f), ft.t_mul(h, g), ft.t_mul(g, f), ft.t_mul(e, h))
+
+
+def _basemult_kernel(cut_ref, zr_ref, planes_ref, *rest, mode, use_bp):
+    if use_bp:
+        bp_ref, ox_ref, oy_ref = rest
+    else:
+        ox_ref, oy_ref = rest
+    pad = ft.t_pad()
+    planes = planes_ref[...]
+    zr = zr_ref[0]
+
+    # init from table entry cut[0] with the randomized projective start
+    # (2xR : 2yR : 2R : 2xyR), reference ed25519_sign.c:226-237
+    ypx, ymx, t2d = _gather_pa(planes, cut_ref[0, 0])
+    x2 = ft.t_sub(ypx, ymx, pad)                      # 2x
+    y2 = ft.t_add(ypx, ymx)                           # 2y
+    di = jnp.broadcast_to(ft.t_const(int_to_limbs(ED_DI)), t2d.shape)
+    t2 = ft.t_mul(t2d, di)                            # 2xy = t2d / d
+    st = (ft.t_mul(x2, zr), ft.t_mul(y2, zr),
+          ft.t_add(zr, zr), ft.t_mul(t2, zr))
+
+    def step(i, st):
+        st = _double(st, pad)
+        ypx, ymx, t2d = _gather_pa(planes, cut_ref[0, i])
+        return _add_pa(st, ypx, ymx, t2d, pad)
+
+    st = jax.lax.fori_loop(1, _CUTS, step, st)
+
+    if use_bp:
+        bp = bp_ref[0]
+        st = _add_pe(st, bp[0], bp[1], bp[2], bp[3], pad)
+
+    x, y, z, _ = st
+    if mode == "affine":
+        zi = ft.t_inv(z)
+        ox_ref[0] = ft.t_mul(x, zi)
+        oy_ref[0] = ft.t_mul(y, zi)
+    else:  # mont_u: u = (Z+Y)/(Z-Y)
+        u = ft.t_mul(ft.t_add(z, y), ft.t_inv(ft.t_sub(z, y, pad)))
+        ox_ref[0] = u
+        oy_ref[0] = u
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "interpret"))
+def base_mult_tiled(cut_t, zr_t, bp_t=None, mode="affine", interpret=False):
+    """cut_t: [G, 32, 8, 128] fold digits; zr_t: [G, NLIMBS, 8, 128];
+    bp_t: optional [G, 4, NLIMBS, 8, 128] PE blinding point.
+    Returns (x_t, y_t) limb tensors in the same tiling ("mont_u": both = u)."""
+    g = cut_t.shape[0]
+
+    def spec(k):
+        return pl.BlockSpec((1, k, ft.TILE_S, ft.TILE_L),
+                            lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+
+    planes_spec = pl.BlockSpec((2 * _W, 256), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)
+    bp_spec = pl.BlockSpec((1, 4, NLIMBS, ft.TILE_S, ft.TILE_L),
+                           lambda i: (i, 0, 0, 0, 0), memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((g, NLIMBS, ft.TILE_S, ft.TILE_L),
+                                     jnp.int32)
+    use_bp = bp_t is not None
+    in_specs = [spec(_CUTS), spec(NLIMBS), planes_spec]
+    args = [cut_t, zr_t, folding8_planes_T()]
+    if use_bp:
+        in_specs.append(bp_spec)
+        args.append(bp_t)
+    return pl.pallas_call(
+        functools.partial(_basemult_kernel, mode=mode, use_bp=use_bp),
+        grid=(g,),
+        in_specs=in_specs,
+        out_specs=(spec(NLIMBS), spec(NLIMBS)),
+        out_shape=(out_shape, out_shape),
+        interpret=interpret,
+    )(*args)
+
+
+def base_mult_pallas(bits, zr=None, bp=None, mode="affine", interpret=False):
+    """Batched folding base-point multiply via the Pallas kernel.
+
+    bits: [B, 256] scalar bits (flat batch); zr: optional [B, NLIMBS] or
+    [NLIMBS] projective randomizer; bp: optional PE point dict to add
+    (blinding). Pads B to a multiple of TILE_BATCH internally (pad lanes cut
+    to the identity). Returns (x, y) affine limb tensors [B, NLIMBS], or
+    (u, u) for mode="mont_u". Semantics match edwards.base_point_mult
+    composed with to_affine / the birational map."""
+    from curve25519_tpu.ops import fe
+
+    b = bits.shape[0]
+    bpad = ((b + ft.TILE_BATCH - 1) // ft.TILE_BATCH) * ft.TILE_BATCH
+    g = bpad // ft.TILE_BATCH
+
+    cut = fold.cut8(bits).astype(jnp.int32)                   # [B, 32]
+    cut = jnp.concatenate(
+        [cut, jnp.zeros((bpad - b, _CUTS), jnp.int32)], 0)
+
+    if zr is None:
+        zr_l = fe.one((bpad,))
+    else:
+        zr_l = jnp.broadcast_to(zr, (b, NLIMBS))
+        zr_l = jnp.concatenate(
+            [zr_l, jnp.broadcast_to(fe.one(()), (bpad - b, NLIMBS))], 0)
+
+    bp_t = None
+    if bp is not None:
+        coords = jnp.stack([jnp.broadcast_to(bp[k], (b, NLIMBS))
+                            for k in ("ypx", "ymx", "t2d", "z2")], 1)
+        ident = jnp.stack([fe.one(()), fe.one(()), fe.zero(()),
+                           fe.from_int(2)], 0)
+        coords = jnp.concatenate(
+            [coords, jnp.broadcast_to(ident, (bpad - b, 4, NLIMBS))], 0)
+        bp_t = coords.reshape(g, ft.TILE_S, ft.TILE_L, 4, NLIMBS)
+        bp_t = bp_t.transpose(0, 3, 4, 1, 2)
+
+    x_t, y_t = base_mult_tiled(
+        ft.tile_lanes(cut, g), ft.tile_lanes(zr_l, g), bp_t,
+        mode=mode, interpret=interpret)
+    return ft.untile_lanes(x_t)[:b], ft.untile_lanes(y_t)[:b]

@@ -21,6 +21,35 @@ TILE_L = 128
 TILE_BATCH = TILE_S * TILE_L
 
 
+def t_const(values):
+    """[NLIMBS, 1, 1] int32 constant limb vector built from python ints via
+    iota-compare (Pallas kernels cannot capture array constants)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (NLIMBS, 1, 1), 0)
+    out = jnp.full((NLIMBS, 1, 1), int(values[0]), jnp.int32)
+    for i in range(1, NLIMBS):
+        if int(values[i]) != int(values[0]):
+            out = jnp.where(rows == i, int(values[i]), out)
+    return out
+
+
+def t_pad():
+    """The 32p subtraction pad (see fe._SUB_PAD) as an in-kernel constant."""
+    from curve25519_tpu.ops import fe
+    return t_const(fe._SUB_PAD)
+
+
+def tile_lanes(x, g):
+    """[B, K] -> [G, K, TILE_S, TILE_L] limb/digit-major tiling (B = G*1024)."""
+    k = x.shape[-1]
+    return x.reshape(g, TILE_S, TILE_L, k).transpose(0, 3, 1, 2)
+
+
+def untile_lanes(x_t):
+    """[G, K, TILE_S, TILE_L] -> [G*1024, K]."""
+    g, k = x_t.shape[0], x_t.shape[1]
+    return x_t.transpose(0, 2, 3, 1).reshape(g * TILE_BATCH, k)
+
+
 def zeros_like_row(x):
     return jnp.zeros_like(x[0])
 
@@ -34,6 +63,11 @@ def t_sub(x, y, pad):
     """z = x - y mod p; `pad` is the 32p borrow-raised pad broadcast to
     [NLIMBS, 1, 1] (see fe._SUB_PAD)."""
     return _carry2(x - y + pad)
+
+
+def t_neg(y, pad):
+    """z = -y mod p."""
+    return _carry2(pad - y)
 
 
 def _carry2(r):

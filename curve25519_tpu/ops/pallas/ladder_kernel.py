@@ -27,21 +27,10 @@ from curve25519_tpu.ops.pallas import fe_tile as ft
 
 __all__ = ["ladder_tiled", "point_multiply_pallas"]
 
-def _make_pad():
-    """Build the 32p subtraction pad in-kernel from scalars (Pallas kernels
-    cannot capture array constants). Three distinct limb values: see
-    fe._SUB_PAD."""
-    v = np.asarray(fe._SUB_PAD)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (NLIMBS, 1, 1), 0)
-    pad = jnp.full((NLIMBS, 1, 1), int(v[1]), jnp.int32)
-    pad = jnp.where(rows == 0, int(v[0]), pad)
-    return jnp.where(rows == NLIMBS - 1, int(v[NLIMBS - 1]), pad)
-
-
 def _ladder_kernel(u_ref, k_ref, zr_ref, out_ref):
     u = u_ref[0]
     zr = zr_ref[0]
-    pad = _make_pad()
+    pad = ft.t_pad()
 
     # initial state at key bit 254 (always set for clamped keys):
     # P = (u*zr : zr), Q = 2P  (cf. curve25519_dh.c:117-125)
@@ -114,14 +103,8 @@ def ladder_tiled(u_t, k_t, zr_t, interpret=False):
     )(u_t, k_t, zr_t)
 
 
-def _tile(x, g):
-    """[B, NLIMBS] -> [G, NLIMBS, 8, 128]."""
-    return x.reshape(g, ft.TILE_S, ft.TILE_L, NLIMBS).transpose(0, 3, 1, 2)
-
-
-def _untile(x_t):
-    g = x_t.shape[0]
-    return x_t.transpose(0, 2, 3, 1).reshape(g * ft.TILE_BATCH, NLIMBS)
+_tile = ft.tile_lanes
+_untile = ft.untile_lanes
 
 
 def point_multiply_pallas(point_bytes, sk_bytes, zr=None, interpret=False):

@@ -29,6 +29,7 @@ from curve25519_tpu.ops.fe import _carry_seq as _carry, _mul_cols, select
 __all__ = [
     "from_int", "add", "sub_from_ell", "mul", "mod", "from_digest",
     "from_bytes", "from_bytes_raw", "to_bytes", "inv", "neg", "muladd",
+    "mont_mul", "to_mont", "from_mont", "exp_mod_bpo",
 ]
 
 _ELL_LIMBS = int_to_limbs(ELL)
@@ -174,4 +175,53 @@ def inv(x):
                       mul(t, x), t), None
 
     t, _ = jax.lax.scan(body, x, bits)
+    return t
+
+
+# ---------------------------------------------------------------------------
+# Montgomery form mod l (selftest-level API parity)
+#
+# The reference implements REDC word-serially with -1/l mod 2^64
+# (eco_MontMul, test/curve25519_selftest.c:182-242). On TPU the folded-matrix
+# reduction above already fully reduces a double-width product in one shot,
+# so Montgomery form needs no serial REDC: x*y/R is just a multiply by the
+# constant R^-1 mod l. Same R = 2^256 radix and identical semantics.
+# ---------------------------------------------------------------------------
+_R_MONT = pow(2, 256, ELL)
+_RINV_MONT = pow(_R_MONT, ELL - 2, ELL)
+
+
+def mont_mul(x, y):
+    """z = x*y/R mod l (reference eco_MontMul)."""
+    return mul(mul(x, y), from_int(_RINV_MONT))
+
+
+def to_mont(x):
+    """y = x*R mod l (reference eco_ToMont)."""
+    return mul(x, from_int(_R_MONT))
+
+
+def from_mont(x):
+    """y = x/R mod l (reference eco_FromMont)."""
+    return mul(x, from_int(_RINV_MONT))
+
+
+def exp_mod_bpo(x, e_bytes):
+    """y = x^E mod l for a runtime exponent E of [..., n] little-endian
+    bytes (reference eco_ExpModBPO, test/curve25519_selftest.c:258-275:
+    bytes consumed most-significant first). Constant-time square-and-multiply
+    scan over all 8n bits."""
+    e_bytes = jnp.asarray(e_bytes, jnp.uint8).astype(jnp.int32)
+    n = e_bytes.shape[-1]
+    # bit sequence MSB-first: byte n-1 .. 0, bit 7 .. 0 within each byte
+    shifts = jnp.arange(7, -1, -1, dtype=jnp.int32)
+    bits = (e_bytes[..., ::-1, None] >> shifts) & 1   # [..., n, 8] MSB-first
+    bits = bits.reshape(bits.shape[:-2] + (8 * n,))
+    bseq = jnp.moveaxis(bits, -1, 0)                  # [8n, ...]
+
+    def body(t, bit):
+        t = mul(t, t)
+        return select(bit == 1, mul(t, x), t), None
+
+    t, _ = jax.lax.scan(body, from_int(1, x.shape[:-1]), bseq)
     return t

@@ -7,6 +7,8 @@ import jax.numpy as jnp
 import pytest
 
 from curve25519_tpu import refmodel
+from curve25519_tpu.ops import codec, fe, sc
+from curve25519_tpu.ops.pallas import edwards_kernel as ek
 from curve25519_tpu.ops.pallas import ladder_kernel as lk
 
 rng = np.random.default_rng(31)
@@ -29,3 +31,48 @@ def test_tile_untile_roundtrip():
                                  dtype=np.int32))
     assert np.array_equal(np.asarray(lk._untile(lk._tile(x, 2))),
                           np.asarray(x))
+
+
+@pytest.mark.slow
+def test_pallas_basemult_interpret_matches_scan():
+    """Edwards folding kernel (affine + mont_u modes, with padding) vs the
+    jnp scan path (which is itself tested against the python oracle)."""
+    from curve25519_tpu.models import edwards
+    B = 96  # exercises the pad-to-1024 path
+    sk = codec.clamp(jnp.asarray(
+        rng.integers(0, 256, (B, 32), dtype=np.uint8)))
+    bits = codec.scalar_bits(sk)
+
+    s = edwards.base_point_mult(bits)
+    x_ref, y_ref = edwards.to_affine(s)
+    x_p, y_p = ek.base_mult_pallas(bits, mode="affine", interpret=True)
+    assert np.array_equal(np.asarray(fe.to_bytes(x_p)),
+                          np.asarray(fe.to_bytes(x_ref)))
+    assert np.array_equal(np.asarray(fe.to_bytes(y_p)),
+                          np.asarray(fe.to_bytes(y_ref)))
+
+    u_ref = fe.mul(fe.add(s["z"], s["y"]), fe.inv(fe.sub(s["z"], s["y"])))
+    u_p, _ = ek.base_mult_pallas(bits, mode="mont_u", interpret=True)
+    assert np.array_equal(np.asarray(fe.to_bytes(u_p)),
+                          np.asarray(fe.to_bytes(u_ref)))
+
+
+@pytest.mark.slow
+def test_pallas_basemult_blinded_interpret():
+    """(a + bl)*G + BP through the kernel == a*G (blinding must not change
+    the result), reference edp_BasePointMultiply (ed25519_sign.c:246-268)."""
+    from curve25519_tpu.models import blinding, edwards
+    B = 64
+    seed = jnp.asarray(rng.integers(0, 256, (B, 32), dtype=np.uint8))
+    a = fe.from_bytes(codec.clamp(seed))
+    ctx = blinding.as_batch(blinding.blinding_init(b"kernel-blind-test"), (B,))
+    t = sc.add(sc.mod(a), ctx["bl"])
+    x_p, y_p = ek.base_mult_pallas(
+        codec.scalar_bits(sc.to_bytes(t)), zr=ctx["zr"], bp=ctx["bp"],
+        mode="affine", interpret=True)
+    x_ref, y_ref = edwards.to_affine(
+        edwards.base_point_mult(codec.scalar_bits(codec.clamp(seed))))
+    assert np.array_equal(np.asarray(fe.to_bytes(x_p)),
+                          np.asarray(fe.to_bytes(x_ref)))
+    assert np.array_equal(np.asarray(fe.to_bytes(y_p)),
+                          np.asarray(fe.to_bytes(y_ref)))

@@ -76,3 +76,45 @@ def test_inv_split_key():
     out = jax.jit(sc.inv)(x)
     assert unpack(out) == [pow(v, ELL - 2, ELL) for v in vals]
     assert unpack(sc.mul(x, out)) == [1] * len(vals)
+
+
+def test_montgomery_form():
+    """Montgomery-form ops vs direct multiplication — the reference's
+    I*D-three-ways and 1000-random Montgomery-vs-direct equivalence checks
+    (test/curve25519_selftest.c:657-714)."""
+    a_vals = rand_ints(32) + EDGE
+    b_vals = rand_ints(32) + EDGE[::-1]
+    a, b = pack(a_vals), pack(b_vals)
+
+    # to_mont/from_mont round-trip
+    assert unpack(sc.from_mont(sc.to_mont(a))) == [v % ELL for v in a_vals]
+
+    # mont_mul(aR, bR) == (a*b)R; from_mont of it == a*b mod l (direct)
+    ab_mont = sc.mont_mul(sc.to_mont(a), sc.to_mont(b))
+    direct = sc.mul(a, b)
+    assert unpack(sc.from_mont(ab_mont)) == unpack(direct)
+    assert unpack(ab_mont) == unpack(sc.to_mont(direct))
+
+
+def test_exp_mod_bpo():
+    """x^E mod l with runtime little-endian byte exponents (reference
+    eco_ExpModBPO): Fermat x^(l-1) = 1, x^1 = x, and inv equivalence
+    x^(l-2) == sc.inv(x)."""
+    vals = rand_ints(6) + [2, ELL - 1]
+    x = pack(vals)
+    n = x.shape[0]
+
+    em1 = jnp.broadcast_to(
+        jnp.asarray(np.frombuffer((ELL - 1).to_bytes(32, "little"),
+                                  np.uint8)), (n, 32))
+    assert unpack(sc.exp_mod_bpo(x, em1)) == [1] * n
+
+    one = jnp.broadcast_to(
+        jnp.asarray(np.frombuffer((1).to_bytes(32, "little"), np.uint8)),
+        (n, 32))
+    assert unpack(sc.exp_mod_bpo(x, one)) == [v % ELL for v in vals]
+
+    em2 = jnp.broadcast_to(
+        jnp.asarray(np.frombuffer((ELL - 2).to_bytes(32, "little"),
+                                  np.uint8)), (n, 32))
+    assert unpack(sc.exp_mod_bpo(x, em2)) == unpack(sc.inv(x))
