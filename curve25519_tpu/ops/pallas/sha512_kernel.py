@@ -1,0 +1,259 @@
+"""Pallas SHA-512 compression kernel.
+
+The batched jnp path (ops/sha512.py) keeps 64-bit words as [..., 2] uint32
+pairs whose tiny trailing axes waste VPU lanes and whose 80-round scan
+round-trips HBM. Here each grid block owns TILE_BATCH = 1024 messages laid
+out as [8, 128] uint32 tiles — one full VPU tile per word-half — with the
+whole multi-block compression unrolled in VMEM/registers: the 80 rounds are
+python-unrolled so the round constants are vector immediates (an SMEM load
+per round serializes the pipeline), and the 16-word schedule lives in a
+rotating python list of tiles.
+
+FIPS 180-4 padding runs on the host side of the kernel boundary but in the
+*word* domain: bytes are packed to big-endian uint32 words first (one
+reshape + weighted sum), then the 0x80 marker / zero fill / 128-bit length
+field are applied per word with masks — far cheaper than masking a uint8
+stream (8-bit ops relayout on TPU).
+
+Reference anchor: SHA512_Transform (source/sha512.c:226).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from curve25519_tpu.ops import sha512 as sha_jnp
+from curve25519_tpu.ops.pallas import fe_tile as ft
+
+__all__ = ["sha512_blocks_tiled", "sha512_pallas"]
+
+
+def _add64(ah, al, bh, bl):
+    lo = al + bl
+    c = (lo < al).astype(jnp.uint32)
+    return ah + bh + c, lo
+
+
+def _rotr(h, l, n):
+    if n == 32:
+        return l, h
+    if n > 32:
+        h, l, n = l, h, n - 32
+    n = jnp.uint32(n)
+    m = jnp.uint32(32) - n
+    return (h >> n) | (l << m), (l >> n) | (h << m)
+
+
+def _shr(h, l, n):
+    if n >= 32:
+        return jnp.zeros_like(h), h >> jnp.uint32(n - 32)
+    n = jnp.uint32(n)
+    m = jnp.uint32(32) - n
+    return h >> n, (l >> n) | (h << m)
+
+
+def _xor3(a, b, c):
+    return (a[0] ^ b[0] ^ c[0], a[1] ^ b[1] ^ c[1])
+
+
+def _sigma0(h, l):
+    return _xor3(_rotr(h, l, 1), _rotr(h, l, 8), _shr(h, l, 7))
+
+
+def _sigma1(h, l):
+    return _xor3(_rotr(h, l, 19), _rotr(h, l, 61), _shr(h, l, 6))
+
+
+def _Sigma0(h, l):
+    return _xor3(_rotr(h, l, 28), _rotr(h, l, 34), _rotr(h, l, 39))
+
+
+def _Sigma1(h, l):
+    return _xor3(_rotr(h, l, 14), _rotr(h, l, 18), _rotr(h, l, 41))
+
+
+def _round(st, wh, wl, kh, kl):
+    ah, al, bh, bl, ch_, cl, dh, dl, eh, el, fh, fl, gh, gl, hh, hl = st
+    s1h, s1l = _Sigma1(eh, el)
+    chh = (eh & fh) ^ (~eh & gh)
+    chl = (el & fl) ^ (~el & gl)
+    t1 = _add64(hh, hl, s1h, s1l)
+    t1 = _add64(*t1, chh, chl)
+    t1 = _add64(*t1, kh, kl)
+    t1h, t1l = _add64(*t1, wh, wl)
+    s0h, s0l = _Sigma0(ah, al)
+    mjh = (ah & bh) ^ (ah & ch_) ^ (bh & ch_)
+    mjl = (al & bl) ^ (al & cl) ^ (bl & cl)
+    t2h, t2l = _add64(s0h, s0l, mjh, mjl)
+    nah, nal = _add64(t1h, t1l, t2h, t2l)
+    neh, nel = _add64(dh, dl, t1h, t1l)
+    return (nah, nal, ah, al, bh, bl, ch_, cl,
+            neh, nel, eh, el, fh, fl, gh, gl)
+
+
+def _sha_kernel(w_ref, nb_ref, h0_ref, k_ref, out_ref, *, nblocks, unroll):
+    nb_lane = nb_ref[0, 0]                       # [S, L] int32
+    # H0 enters as a VMEM input: loop-carried state must originate from
+    # loads — constant-derived carries get a replicated Mosaic layout that
+    # cannot meet the loop body's concrete layout at the back-edge
+    st = tuple(h0_ref[0, i] for i in range(16))
+
+    def block_step(b, st):
+        if unroll:
+            # rounds fully unrolled: K as vector immediates (an SMEM load
+            # per round stalls the VPU pipeline), rotating schedule window
+            # as a python list. Mosaic compiles this in seconds; the XLA-CPU
+            # interpreter does not — tests use the rolled form below.
+            w = [(w_ref[0, b * 32 + 2 * t], w_ref[0, b * 32 + 2 * t + 1])
+                 for t in range(16)]
+            v = st
+            for t in range(80):
+                if t < 16:
+                    wh, wl = w[t]
+                else:
+                    s1 = _sigma1(*w[(t - 2) % 16])
+                    s0 = _sigma0(*w[(t - 15) % 16])
+                    acc = _add64(*s1, *w[(t - 7) % 16])
+                    acc = _add64(*acc, *s0)
+                    wh, wl = _add64(*acc, *w[t % 16])
+                    w[t % 16] = (wh, wl)
+                v = _round(v, wh, wl, jnp.uint32(sha_jnp._K[t] >> 32),
+                           jnp.uint32(sha_jnp._K[t] & 0xFFFFFFFF))
+        else:
+            # rolled form: K from SMEM, schedule window as loop carry
+            def load(t, vv):
+                wh = w_ref[0, b * 32 + 2 * t]
+                wl = w_ref[0, b * 32 + 2 * t + 1]
+                return _round(vv, wh, wl, k_ref[t, 0], k_ref[t, 1])
+
+            v = jax.lax.fori_loop(0, 16, load, st)
+            win = tuple(w_ref[0, b * 32 + i] for i in range(32))
+
+            def recur(t, carry):
+                vv, win = carry
+                s1 = _sigma1(win[28], win[29])                    # w[t-2]
+                s0 = _sigma0(win[2], win[3])                      # w[t-15]
+                w = _add64(*_add64(*s1, win[18], win[19]),        # + w[t-7]
+                           *_add64(*s0, win[0], win[1]))          # + w[t-16]
+                vv = _round(vv, w[0], w[1], k_ref[t, 0], k_ref[t, 1])
+                return vv, win[2:] + w
+
+            v, _ = jax.lax.fori_loop(16, 80, recur, (v, win))
+
+        # lanes whose message ended before block b keep their state
+        active = b < nb_lane
+        new = []
+        for i in range(8):
+            nh, nl = _add64(st[2 * i], st[2 * i + 1],
+                            v[2 * i], v[2 * i + 1])
+            new.extend((nh, nl))
+        return tuple(jnp.where(active, n, o) for n, o in zip(new, st))
+
+    st = jax.lax.fori_loop(0, nblocks, block_step, st)
+    out_ref[0] = jnp.stack(st, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("nblocks", "interpret"))
+def sha512_blocks_tiled(w_t, nb_t, nblocks, interpret=False):
+    """w_t: [G, nblocks*32, 8, 128] uint32 big-endian padded block words
+    (order: block, word 0..15, hi/lo); nb_t: [G, 1, 8, 128] int32 per-lane
+    active block counts. Returns [G, 16, 8, 128] uint32 digest words."""
+    g = w_t.shape[0]
+
+    def spec(k):
+        return pl.BlockSpec((1, k, ft.TILE_S, ft.TILE_L),
+                            lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+
+    h0 = jnp.broadcast_to(
+        jnp.asarray(sha_jnp._H0_HL.reshape(16), jnp.uint32)[None, :, None,
+                                                            None],
+        (1, 16, ft.TILE_S, ft.TILE_L))
+    h0_spec = pl.BlockSpec((1, 16, ft.TILE_S, ft.TILE_L),
+                           lambda i: (0, 0, 0, 0), memory_space=pltpu.VMEM)
+    k_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    return pl.pallas_call(
+        functools.partial(_sha_kernel, nblocks=nblocks,
+                          unroll=not interpret),
+        grid=(g,),
+        in_specs=[spec(nblocks * 32), spec(1), h0_spec, k_spec],
+        out_specs=spec(16),
+        out_shape=jax.ShapeDtypeStruct((g, 16, ft.TILE_S, ft.TILE_L),
+                                       jnp.uint32),
+        interpret=interpret,
+    )(w_t, nb_t, h0, jnp.asarray(sha_jnp._K_HL))
+
+
+def _pack_words(msg, length):
+    """FIPS 180-4 padding in the uint32-word domain.
+
+    msg: [B, L] uint8; length: [B] int32. Returns (words [B, nb*32] uint32
+    big-endian halves in (block, word, hi/lo) order, nblocks [B] int32, nb)."""
+    b, max_len = msg.shape
+    nb = sha_jnp._nblocks_static(max_len)
+    total = nb * sha_jnp.BLOCK_LEN
+    nw = nb * 32                                   # uint32 half-words
+
+    data = jnp.zeros((b, total), dtype=jnp.uint8).at[:, :max_len].set(msg)
+    raw = jnp.sum(
+        data.reshape(b, nw, 4).astype(jnp.uint32)
+        * jnp.asarray([1 << 24, 1 << 16, 1 << 8, 1], jnp.uint32), axis=-1)
+
+    # bytes of message remaining at each word: r >= 4 keep, r < 0 zero,
+    # 0 <= r < 4 keep top r bytes and place the 0x80 marker at byte r
+    widx = jnp.arange(nw, dtype=jnp.int32)
+    r = length[:, None] - 4 * widx
+    mask = jnp.where(
+        r >= 4, jnp.uint32(0xFFFFFFFF),
+        jnp.where(r == 3, jnp.uint32(0xFFFFFF00),
+                  jnp.where(r == 2, jnp.uint32(0xFFFF0000),
+                            jnp.where(r == 1, jnp.uint32(0xFF000000),
+                                      jnp.uint32(0)))))
+    pad80 = jnp.where(
+        r == 0, jnp.uint32(0x80000000),
+        jnp.where(r == 1, jnp.uint32(0x00800000),
+                  jnp.where(r == 2, jnp.uint32(0x00008000),
+                            jnp.where(r == 3, jnp.uint32(0x00000080),
+                                      jnp.uint32(0)))))
+    words = (raw & mask) | pad80
+
+    # 128-bit big-endian length field: the last two half-words of the final
+    # active block (we populate the low 64 bits; messages < 2^61 bytes)
+    nblocks = (length + 17 + sha_jnp.BLOCK_LEN - 1) // sha_jnp.BLOCK_LEN
+    last = nblocks[:, None] * 32
+    bitlen_hi = (length >> 29).astype(jnp.uint32)
+    bitlen_lo = length.astype(jnp.uint32) << 3
+    words = jnp.where(widx == last - 2, bitlen_hi[:, None], words)
+    words = jnp.where(widx == last - 1, bitlen_lo[:, None], words)
+    return words, nblocks, nb
+
+
+def sha512_pallas(msg, length=None, interpret=False):
+    """Batched SHA-512 via the Pallas compression kernel; same semantics as
+    ops.sha512.sha512 for flat [B, L] uint8 batches."""
+    msg = jnp.asarray(msg, dtype=jnp.uint8)
+    b, max_len = msg.shape
+    if length is None:
+        length = jnp.full((b,), max_len, dtype=jnp.int32)
+    else:
+        length = jnp.asarray(length, dtype=jnp.int32)
+
+    words, nblocks, nb = _pack_words(msg, length)  # [B, nb*32]
+
+    bpad = ((b + ft.TILE_BATCH - 1) // ft.TILE_BATCH) * ft.TILE_BATCH
+    g = bpad // ft.TILE_BATCH
+    flat = jnp.concatenate(
+        [words, jnp.zeros((bpad - b, nb * 32), jnp.uint32)], 0)
+    nbl = jnp.concatenate(
+        [nblocks[:, None], jnp.zeros((bpad - b, 1), jnp.int32)], 0)
+
+    out_t = sha512_blocks_tiled(
+        ft.tile_lanes(flat, g), ft.tile_lanes(nbl, g), nb,
+        interpret=interpret)
+    st = ft.untile_lanes(out_t)[:b]                  # [B, 16] uint32
+    sh = jnp.asarray([24, 16, 8, 0], dtype=jnp.uint32)
+    by = (st[..., :, None] >> sh) & 0xFF
+    return by.reshape(b, 64).astype(jnp.uint8)

@@ -145,22 +145,13 @@ def _nblocks_static(max_len):
     return (max_len + 17 + BLOCK_LEN - 1) // BLOCK_LEN
 
 
-def sha512(msg, length=None):
-    """Batched SHA-512.
+def _pad_and_pack(msg, length):
+    """FIPS 180-4 padding + byte->big-endian-word packing with masks.
 
-    msg: ``[..., L]`` uint8 tensor (L static). length: ``[...]`` int32 actual
-    byte lengths (defaults to L everywhere). Returns ``[..., 64]`` uint8
-    digests. Messages shorter than L are padded per FIPS 180-4 using masks;
-    blocks past a message's end leave its hash state untouched.
-    """
-    msg = jnp.asarray(msg, dtype=jnp.uint8)
+    Returns (words [..., nb, 16, 2] uint32, nblocks [...] int32 active block
+    counts, nb static block count)."""
     max_len = msg.shape[-1]
     batch_shape = msg.shape[:-1]
-    if length is None:
-        length = jnp.full(batch_shape, max_len, dtype=jnp.int32)
-    else:
-        length = jnp.asarray(length, dtype=jnp.int32)
-
     nb = _nblocks_static(max_len)
     total = nb * BLOCK_LEN
 
@@ -187,6 +178,35 @@ def sha512(msg, length=None):
     blocks = data.reshape(batch_shape + (nb, 16, 2, 4)).astype(jnp.uint32)
     weights = jnp.asarray([1 << 24, 1 << 16, 1 << 8, 1], dtype=jnp.uint32)
     words = jnp.sum(blocks * weights, axis=-1)       # [..., nb, 16, 2]
+    return words, nblocks, nb
+
+
+def sha512(msg, length=None):
+    """Batched SHA-512.
+
+    msg: ``[..., L]`` uint8 tensor (L static). length: ``[...]`` int32 actual
+    byte lengths (defaults to L everywhere). Returns ``[..., 64]`` uint8
+    digests. Messages shorter than L are padded per FIPS 180-4 using masks;
+    blocks past a message's end leave its hash state untouched.
+
+    Flat TPU batches >= 1024 route through the Pallas compression kernel
+    (ops/pallas/sha512_kernel.py); the jnp path below is the portable
+    implementation with identical semantics.
+    """
+    msg = jnp.asarray(msg, dtype=jnp.uint8)
+    max_len = msg.shape[-1]
+    batch_shape = msg.shape[:-1]
+    if length is None:
+        length = jnp.full(batch_shape, max_len, dtype=jnp.int32)
+    else:
+        length = jnp.asarray(length, dtype=jnp.int32)
+
+    from curve25519_tpu.ops.pallas import use_pallas
+    if use_pallas(batch_shape):
+        from curve25519_tpu.ops.pallas import sha512_kernel
+        return sha512_kernel.sha512_pallas(msg, length)
+
+    words, nblocks, nb = _pad_and_pack(msg, length)
 
     state0 = jnp.broadcast_to(jnp.asarray(_H0_HL), batch_shape + (8, 2))
     # match device-variance with the message data (shard_map scan carries)

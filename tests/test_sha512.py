@@ -48,3 +48,19 @@ def test_million_a():
 def test_streaming_facade():
     h = Sha512().update(b"hello ").update(b"world")
     assert h.final() == hashlib.sha512(b"hello world").digest()
+
+
+def test_sha512_pallas_kernel_interpret():
+    """The Pallas compression kernel (rolled form) vs hashlib across padding
+    edge lengths, including multi-block and empty messages."""
+    import hashlib
+    from curve25519_tpu.ops.pallas import sha512_kernel as sk
+    r = np.random.default_rng(17)
+    msg = r.integers(0, 256, (64, 200), dtype=np.uint8)
+    lens = r.integers(0, 201, (64,), dtype=np.int32)
+    lens[:8] = [0, 1, 111, 112, 127, 128, 129, 200]
+    out = np.asarray(sk.sha512_pallas(
+        jnp.asarray(msg), jnp.asarray(lens), interpret=True))
+    for i in range(64):
+        exp = hashlib.sha512(msg[i, :lens[i]].tobytes()).digest()
+        assert bytes(out[i].tolist()) == exp, (i, lens[i])
