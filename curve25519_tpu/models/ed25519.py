@@ -259,7 +259,16 @@ def verify_check(ctx, sig, msg, msg_len=None, strict=False):
 
     s_bits = codec.scalar_bits(sig[..., 32:])
     h_bits = codec.scalar_bits(sc.to_bytes(h))
-    rx, ry = _poly_point_multiply(s_bits, h_bits, ctx["planes"])
+    from curve25519_tpu.ops.pallas import use_pallas
+    if use_pallas(batch):
+        from curve25519_tpu.ops.pallas import verify_kernel
+        planes = jnp.broadcast_to(
+            ctx["planes"], batch + ctx["planes"].shape[-2:])
+        rx, ry = verify_kernel.poly_mult_pallas(
+            jnp.broadcast_to(s_bits, batch + (256,)),
+            jnp.broadcast_to(h_bits, batch + (256,)), planes)
+    else:
+        rx, ry = _poly_point_multiply(s_bits, h_bits, ctx["planes"])
     r_bytes = _pack(rx, ry)
 
     match = jnp.all(r_bytes == sig[..., :32], axis=-1)

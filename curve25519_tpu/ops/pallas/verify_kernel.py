@@ -1,0 +1,136 @@
+"""Pallas double-scalar-multiply kernel for Ed25519 verification.
+
+Computes R' = s*G + h*(-Q) — the reference's edp_PolyPointMultiply
+(source/ed25519_verify.c:243-280): 8-folds of s against the global base
+table interleaved with 4-folds of h against the per-key 16-entry q_table,
+31 x (double + PE add) then 32 x (double + affine add + PE add), plus the
+final affine normalization — all in one kernel launch per 1024-lane tile.
+
+Two different constant-time gathers per step:
+- the 256-entry base folding table is shared by every lane → one-hot bf16
+  matmul on the MXU (same as edwards_kernel._gather_pa);
+- the 16-entry q_table differs per lane (it is the per-pubkey Verify_Init
+  precompute) → a 4-level branchless select tree on the VPU over the
+  VMEM-resident [16, 4*NLIMBS] per-lane tables.
+
+Verify operates on public data, so uniformity is not required for safety —
+but fixed-shape branch-free execution is how TPUs run fast anyway.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from curve25519_tpu.config import ED_DI, NLIMBS, int_to_limbs
+from curve25519_tpu.ops import fold
+from curve25519_tpu.ops.pallas import edwards_kernel as ek
+from curve25519_tpu.ops.pallas import fe_tile as ft
+
+__all__ = ["poly_mult_tiled", "poly_mult_pallas"]
+
+_QROWS = 4 * NLIMBS          # ypx, ymx, t2d, z2 limbs per q_table entry
+
+
+def _gather_qt(qt, idx):
+    """Per-lane 16-entry table fetch via a binary select tree.
+
+    qt: [16*_QROWS, S, L] int32 (entry-major); idx: [S, L] int32 in [0, 16).
+    Returns (ypx, ymx, t2d, z2) limb tiles."""
+    lvl = [qt[e * _QROWS:(e + 1) * _QROWS] for e in range(16)]
+    for bit in range(4):
+        mask = ((idx >> bit) & 1) != 0
+        lvl = [jnp.where(mask[None], lvl[2 * i + 1], lvl[2 * i])
+               for i in range(len(lvl) // 2)]
+    q = lvl[0]
+    return (q[:NLIMBS], q[NLIMBS:2 * NLIMBS],
+            q[2 * NLIMBS:3 * NLIMBS], q[3 * NLIMBS:])
+
+
+def _poly_kernel(u_ref, v_ref, qt_ref, planes_ref, ox_ref, oy_ref):
+    pad = ft.t_pad()
+    planes = planes_ref[...]
+    qt = qt_ref[0]
+
+    # init from q_table[v[0]]: (x, y, z, t) = (YpX-YmX, YpX+YmX, Z2, T2d/2d)
+    ypx, ymx, t2d, z2 = _gather_qt(qt, v_ref[0, 0])
+    x = ft.t_sub(ypx, ymx, pad)
+    y = ft.t_add(ypx, ymx)
+    di = jnp.broadcast_to(ft.t_const(int_to_limbs(ED_DI)), t2d.shape)
+    t = ft.t_mul(t2d, di)
+    st = (x, y, z2, t)
+
+    def step1(i, st):
+        st = ek._double(st, pad)
+        q = _gather_qt(qt, v_ref[0, i])
+        return ek._add_pe(st, *q, pad)
+
+    st = jax.lax.fori_loop(1, 32, step1, st)
+
+    def step2(i, st):
+        st = ek._double(st, pad)
+        pa = ek._gather_pa(planes, u_ref[0, i - 32])
+        st = ek._add_pa(st, *pa, pad)
+        q = _gather_qt(qt, v_ref[0, i])
+        return ek._add_pe(st, *q, pad)
+
+    st = jax.lax.fori_loop(32, 64, step2, st)
+
+    x, y, z, _ = st
+    zi = ft.t_inv(z)
+    ox_ref[0] = ft.t_mul(x, zi)
+    oy_ref[0] = ft.t_mul(y, zi)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def poly_mult_tiled(u_t, v_t, qt_t, interpret=False):
+    """u_t: [G, 32, 8, 128] 8-fold digits of s; v_t: [G, 64, 8, 128] 4-fold
+    digits of h; qt_t: [G, 16*4*NLIMBS, 8, 128] per-lane q_table limbs.
+    Returns affine (x_t, y_t) limb tensors [G, NLIMBS, 8, 128]."""
+    g = u_t.shape[0]
+
+    def spec(k):
+        return pl.BlockSpec((1, k, ft.TILE_S, ft.TILE_L),
+                            lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+
+    planes_spec = pl.BlockSpec((2 * ek._W, 256), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((g, NLIMBS, ft.TILE_S, ft.TILE_L),
+                                     jnp.int32)
+    return pl.pallas_call(
+        _poly_kernel,
+        grid=(g,),
+        in_specs=[spec(32), spec(64), spec(16 * _QROWS), planes_spec],
+        out_specs=(spec(NLIMBS), spec(NLIMBS)),
+        out_shape=(out_shape, out_shape),
+        interpret=interpret,
+    )(u_t, v_t, qt_t, ek.folding8_planes_T())
+
+
+def poly_mult_pallas(s_bits, h_bits, planes, interpret=False):
+    """Batched R' = s*G + h*(-Q) via the Pallas kernel.
+
+    s_bits/h_bits: [B, 256] scalar bits; planes: [B, 16, 8*NLIMBS] int8 — the
+    Verify_Init context's plane-split q_table (models/ed25519.verify_init).
+    Returns affine (x, y) limb tensors [B, NLIMBS]."""
+    b = s_bits.shape[0]
+    bpad = ((b + ft.TILE_BATCH - 1) // ft.TILE_BATCH) * ft.TILE_BATCH
+    g = bpad // ft.TILE_BATCH
+
+    u = fold.cut8(s_bits).astype(jnp.int32)                # [B, 32]
+    v = fold.cut4(h_bits).astype(jnp.int32)                # [B, 64]
+    # un-split the int8 planes back to int32 limbs (weak-all, < 2^14)
+    w = 4 * NLIMBS
+    pl8 = planes.astype(jnp.int32)
+    qt = (pl8[..., :w] + (pl8[..., w:] << 7)).reshape(b, 16 * w)
+
+    def padd(x):
+        return jnp.concatenate(
+            [x, jnp.zeros((bpad - b, x.shape[-1]), jnp.int32)], 0)
+
+    x_t, y_t = poly_mult_tiled(
+        ft.tile_lanes(padd(u), g), ft.tile_lanes(padd(v), g),
+        ft.tile_lanes(padd(qt), g), interpret=interpret)
+    return ft.untile_lanes(x_t)[:b], ft.untile_lanes(y_t)[:b]

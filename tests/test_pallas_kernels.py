@@ -76,3 +76,33 @@ def test_pallas_basemult_blinded_interpret():
                           np.asarray(fe.to_bytes(x_ref)))
     assert np.array_equal(np.asarray(fe.to_bytes(y_p)),
                           np.asarray(fe.to_bytes(y_ref)))
+
+
+@pytest.mark.slow
+def test_pallas_poly_mult_interpret_matches_scan():
+    """Verify kernel (s*G + h*(-Q)) vs the jnp poly-multiply path."""
+    from curve25519_tpu.models import ed25519
+    from curve25519_tpu.ops.pallas import verify_kernel as vk
+    from curve25519_tpu.ops.sha512 import sha512
+    B = 48
+    seed = jnp.asarray(rng.integers(0, 256, (B, 32), dtype=np.uint8))
+    msg = jnp.asarray(rng.integers(0, 256, (B, 40), dtype=np.uint8))
+    mlen = jnp.full((B,), 40, jnp.int32)
+    pk, priv = ed25519.create_keypair(seed)
+    sig = ed25519.sign(priv, msg, mlen)
+    ctx = ed25519.verify_init(pk)
+
+    from curve25519_tpu.ops import sc
+    hmsg = jnp.concatenate([sig[..., :32], pk, msg], -1)
+    h = sc.from_digest(sha512(hmsg, 64 + mlen))
+    s_bits = codec.scalar_bits(sig[..., 32:])
+    h_bits = codec.scalar_bits(sc.to_bytes(h))
+
+    rx_ref, ry_ref = ed25519._poly_point_multiply(s_bits, h_bits,
+                                                  ctx["planes"])
+    rx_p, ry_p = vk.poly_mult_pallas(s_bits, h_bits, ctx["planes"],
+                                     interpret=True)
+    assert np.array_equal(np.asarray(fe.to_bytes(rx_p)),
+                          np.asarray(fe.to_bytes(rx_ref)))
+    assert np.array_equal(np.asarray(fe.to_bytes(ry_p)),
+                          np.asarray(fe.to_bytes(ry_ref)))
