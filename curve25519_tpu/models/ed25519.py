@@ -170,8 +170,18 @@ def verify_init(pk):
     Returns a pytree dict {pk, planes, ok}; `planes` is the int8-split table
     ready for constant-time gathering, shape [..., 16, 8*NLIMBS]."""
     pk = jnp.asarray(pk, dtype=jnp.uint8)
-    q, ok = unpack_point(pk, negate=True)
     batch = pk.shape[:-1]
+
+    from curve25519_tpu.ops.pallas import use_pallas
+    if use_pallas(batch):
+        from curve25519_tpu.ops.pallas import verify_kernel
+        y_bytes, parity = codec.unpack_parity(pk)
+        arr, ok = verify_kernel.verify_init_pallas(
+            fe.from_bytes(y_bytes), 1 - parity)
+        return {"pk": pk, "planes": tables.pe_planes_from_array(arr),
+                "ok": ok}
+
+    q, ok = unpack_point(pk, negate=True)
 
     qt = [None] * 16
     qt[0] = {"ypx": fe.one(batch), "ymx": fe.one(batch),

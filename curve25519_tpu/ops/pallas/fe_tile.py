@@ -139,8 +139,9 @@ def t_sqr_times(x, n):
     return jax.lax.fori_loop(0, n, lambda _, t: t_sqr(t), x)
 
 
-def t_inv(x):
-    """1/x via the 254-squaring DJB chain (cf. fe.inv)."""
+def _t_chain_2_250(x):
+    """(x^(2^250 - 1), x^11): shared prefix of the p-2 and (p-5)/8 chains
+    (cf. fe._chain_2_250)."""
     x2 = t_sqr(x)
     x9 = t_mul(t_sqr(t_sqr(x2)), x)
     x11 = t_mul(x9, x2)
@@ -154,4 +155,52 @@ def t_inv(x):
     t = t_mul(t_sqr_times(t, 50), t)             # 2^100 - 1
     t = t_mul(t_sqr_times(t, 100), t)            # 2^200 - 1
     t = t_mul(t_sqr_times(t, 50), x50)           # 2^250 - 1
+    return t, x11
+
+
+def t_inv(x):
+    """1/x via the 254-squaring DJB chain (cf. fe.inv)."""
+    t, x11 = _t_chain_2_250(x)
     return t_mul(t_sqr_times(t, 5), x11)
+
+
+def t_pow2523(x):
+    """x^(2^252 - 3) = x^((p-5)/8) (cf. fe.pow2523)."""
+    t, _ = _t_chain_2_250(x)
+    return t_mul(t_sqr_times(t, 2), x)
+
+
+def t_carry_seq(x):
+    """Exact sequential signed carry over the limb axis (canonicalization
+    only; cf. fe._carry_seq). Returns (digits, carry_out [S, L])."""
+    c = x[0] - x[0]
+    outs = []
+    for i in range(NLIMBS):
+        t = x[i] + c
+        outs.append(t & MASK)
+        c = t >> BITS
+    return jnp.stack(outs, axis=0), c
+
+
+def t_canon(x):
+    """Unique canonical representative in [0, p) (cf. fe.canon)."""
+    from curve25519_tpu.ops import fe
+    p_limbs = t_const(fe._P_LIMBS)
+    d, c = t_carry_seq(x)
+    d = jnp.concatenate([d[0:1] + FOLD * c[None], d[1:]], axis=0)
+    d, _ = t_carry_seq(d)
+    q = d[NLIMBS - 1] >> 8
+    t = d - q[None] * p_limbs
+    td, _ = t_carry_seq(t)
+    u = td - p_limbs
+    ud, uc = t_carry_seq(u)
+    return jnp.where((uc == 0)[None], ud, td)
+
+
+def t_is_zero(x):
+    """[S, L] bool: x == 0 (mod p)."""
+    c = t_canon(x)
+    acc = c[0] == 0
+    for i in range(1, NLIMBS):
+        acc = jnp.logical_and(acc, c[i] == 0)
+    return acc

@@ -29,7 +29,8 @@ from curve25519_tpu.ops import fold
 from curve25519_tpu.ops.pallas import edwards_kernel as ek
 from curve25519_tpu.ops.pallas import fe_tile as ft
 
-__all__ = ["poly_mult_tiled", "poly_mult_pallas"]
+__all__ = ["poly_mult_tiled", "poly_mult_pallas",
+           "verify_init_tiled", "verify_init_pallas"]
 
 _QROWS = 4 * NLIMBS          # ypx, ymx, t2d, z2 limbs per q_table entry
 
@@ -107,6 +108,119 @@ def poly_mult_tiled(u_t, v_t, qt_t, interpret=False):
         out_shape=(out_shape, out_shape),
         interpret=interpret,
     )(u_t, v_t, qt_t, ek.folding8_planes_T())
+
+
+def _t_sqrt_ratio(u, v, pad):
+    """In-kernel mirror of fe.sqrt_ratio: (sqrt(u/v), ok)."""
+    from curve25519_tpu.config import SQRT_M1
+    v2 = ft.t_sqr(v)
+    v3 = ft.t_mul(v2, v)
+    a = ft.t_mul(u, v3)
+    b = ft.t_mul(a, ft.t_sqr(v2))
+    x = ft.t_mul(ft.t_pow2523(b), a)
+    chk = ft.t_sub(ft.t_mul(ft.t_sqr(x), v), u, pad)
+    good = ft.t_is_zero(chk)
+    m1 = jnp.broadcast_to(ft.t_const(int_to_limbs(SQRT_M1)), x.shape)
+    x = ft.t_select(good, x, ft.t_mul(x, m1))
+    chk2 = ft.t_sub(ft.t_mul(ft.t_sqr(x), v), u, pad)
+    return x, jnp.logical_or(good, ft.t_is_zero(chk2))
+
+
+def _to_pe(st, pad, two_d):
+    """Ext -> PE coords (cf. edwards.to_pe): (Y+X, Y-X, 2d*T, 2Z)."""
+    x, y, z, t = st
+    return (ft.t_add(y, x), ft.t_sub(y, x, pad),
+            ft.t_mul(t, two_d), ft.t_add(z, z))
+
+
+def _vinit_kernel(y_ref, par_ref, ox_ref, ook_ref):
+    """Per-lane Verify_Init: decompress -Q from the pubkey, then build the
+    16-entry q_table of subset sums of {-Q, 2^64(-Q), 2^128(-Q), 2^192(-Q)}
+    via 192 doublings (reference ed25519_verify.c:179-232)."""
+    from curve25519_tpu.config import ED_D, ED_2D
+    pad = ft.t_pad()
+    y = y_ref[0]
+    parity = par_ref[0, 0]
+    # `one` enters the doubling loop carry (as Z) — anchor constants to a
+    # loaded value so the carry layout is concrete, not replicated
+    zero = y - y
+    one = zero + ft.t_const(int_to_limbs(1))
+    d_c = jnp.broadcast_to(ft.t_const(int_to_limbs(ED_D)), y.shape)
+    two_d = jnp.broadcast_to(ft.t_const(int_to_limbs(ED_2D)), y.shape)
+
+    # x from y with inverted parity (ed25519_CalculateX + negate)
+    y2 = ft.t_sqr(y)
+    u = ft.t_sub(y2, one, pad)
+    v = ft.t_add(ft.t_mul(y2, d_c), one)
+    x, ok = _t_sqrt_ratio(u, v, pad)
+    xc = ft.t_canon(x)
+    flip = ((xc[0] ^ parity) & 1) == 1
+    x = ft.t_select(flip, ft.t_neg(xc, pad), xc)
+    q = (x, y, one, ft.t_mul(x, y))
+
+    two = ft.t_add(one, one)
+    qt = [None] * 16
+    qt[0] = (one, one, zero, two)
+    qt[1] = _to_pe(q, pad, two_d)
+
+    def dbl64(_, st):
+        return ek._double(st, pad)
+
+    for base, srcs in ((2, (1,)), (4, (1, 2, 3)),
+                       (8, (1, 2, 3, 4, 5, 6, 7))):
+        q = jax.lax.fori_loop(0, 64, dbl64, q)
+        qt[base] = _to_pe(q, pad, two_d)
+        for s in srcs:
+            qt[base + s] = _to_pe(ek._add_pe(q, *qt[s], pad), pad, two_d)
+
+    ox_ref[0] = jnp.concatenate(
+        [coord for e in qt for coord in e], axis=0)      # [16*_QROWS, S, L]
+    ook_ref[0, 0] = ok.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def verify_init_tiled(y_t, par_t, interpret=False):
+    """y_t: [G, NLIMBS, 8, 128] pubkey y limbs; par_t: [G, 1, 8, 128] int32
+    inverted parity bits. Returns (qt_t [G, 16*4*NLIMBS, 8, 128] int32,
+    ok_t [G, 1, 8, 128] int32)."""
+    g = y_t.shape[0]
+
+    def spec(k):
+        return pl.BlockSpec((1, k, ft.TILE_S, ft.TILE_L),
+                            lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        _vinit_kernel,
+        grid=(g,),
+        in_specs=[spec(NLIMBS), spec(1)],
+        out_specs=(spec(16 * _QROWS), spec(1)),
+        out_shape=(
+            jax.ShapeDtypeStruct((g, 16 * _QROWS, ft.TILE_S, ft.TILE_L),
+                                 jnp.int32),
+            jax.ShapeDtypeStruct((g, 1, ft.TILE_S, ft.TILE_L), jnp.int32)),
+        interpret=interpret,
+    )(y_t, par_t)
+
+
+def verify_init_pallas(y_limbs, parity, interpret=False):
+    """Batched q_table build. y_limbs: [B, NLIMBS]; parity: [B] int32
+    (already inverted for -Q). Returns (qt [B, 16, 4, NLIMBS] int32 weak-all
+    limb array, ok [B] bool)."""
+    b = y_limbs.shape[0]
+    bpad = ((b + ft.TILE_BATCH - 1) // ft.TILE_BATCH) * ft.TILE_BATCH
+    g = bpad // ft.TILE_BATCH
+
+    def padd(x):
+        return jnp.concatenate(
+            [x, jnp.zeros((bpad - b, x.shape[-1]), x.dtype)], 0)
+
+    qt_t, ok_t = verify_init_tiled(
+        ft.tile_lanes(padd(y_limbs), g),
+        ft.tile_lanes(padd(parity.astype(jnp.int32)[:, None]), g),
+        interpret=interpret)
+    qt = ft.untile_lanes(qt_t)[:b].reshape(b, 16, 4, NLIMBS)
+    ok = ft.untile_lanes(ok_t)[:b, 0] != 0
+    return qt, ok
 
 
 def poly_mult_pallas(s_bits, h_bits, planes, interpret=False):
