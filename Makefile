@@ -1,0 +1,42 @@
+# Build/test entry points — the analogue of the reference's recursive make
+# (reference: Makefile, Rules.mk, source/Makefile, test/Makefile), reshaped
+# for a Python/JAX package with one native component.
+#
+#   make            build the native host core + regenerate the static blinder
+#   make native     compile curve25519_tpu/native/libref25519.so (g++)
+#   make custom     regenerate the static blinding context (the reference
+#                   reruns custom_tool before every build, source/Makefile:31)
+#   make test       fast test suite (excludes slow full-kernel compiles)
+#   make test-all   full suite, virtual 8-device CPU mesh
+#   make bench      headline benchmark (one JSON line, real TPU)
+#   make bench-all  full per-config suite (benchmarks/bench_suite.py)
+
+PY ?= python
+
+.PHONY: all native custom test test-all bench bench-all clean
+
+all: native custom
+
+native: curve25519_tpu/native/libref25519.so
+
+curve25519_tpu/native/libref25519.so: curve25519_tpu/native/ref25519.cpp
+	g++ -O2 -shared -fPIC -o $@ $<
+
+custom:
+	$(PY) -m curve25519_tpu.tools.custom_tool b
+
+test:
+	$(PY) -m pytest tests/ -q -m "not slow"
+
+test-all:
+	$(PY) -m pytest tests/ -q
+
+bench:
+	$(PY) bench.py
+
+bench-all:
+	$(PY) benchmarks/bench_suite.py
+
+clean:
+	rm -f curve25519_tpu/native/libref25519.so
+	find . -name __pycache__ -type d -exec rm -rf {} +

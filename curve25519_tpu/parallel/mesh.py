@@ -21,8 +21,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "shard_batch", "replicate", "mixed_throughput_step",
-           "init_distributed"]
+__all__ = ["make_mesh", "make_pod_mesh", "shard_batch", "replicate",
+           "sharded", "mixed_throughput_step", "init_distributed"]
 
 
 def make_mesh(devices=None, axis_name="dp"):
@@ -31,6 +31,30 @@ def make_mesh(devices=None, axis_name="dp"):
         devices = jax.devices()
     import numpy as np
     return Mesh(np.asarray(devices), (axis_name,))
+
+
+def make_pod_mesh(axis_name="dp"):
+    """1-D mesh over every chip of every host, ordered host-major so that a
+    contiguous batch shard maps onto one host's ICI domain and the only
+    inter-host (DCN) traffic is the scalar psum of metrics. Call
+    init_distributed first on multi-controller launches."""
+    import numpy as np
+    devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
+    return Mesh(np.asarray(devs), (axis_name,))
+
+
+def sharded(fn, mesh, axis_name="dp", static_argnums=()):
+    """jit a batched model function with every array argument and result
+    sharded on its leading (batch) axis — pure data parallelism.
+
+    Works for any of the models.* batched functions: per-shard semantics are
+    identical to the global call because every protocol op is lane-local
+    (there is no cross-lane math anywhere in the compute path), and each
+    shard independently routes to the Pallas kernels when its *local* batch
+    is >= 1024 lanes."""
+    inner = jax.shard_map(
+        fn, mesh=mesh, in_specs=P(axis_name), out_specs=P(axis_name))
+    return jax.jit(inner, static_argnums=static_argnums)
 
 
 def shard_batch(x, mesh, axis_name="dp"):

@@ -43,3 +43,27 @@ def test_mixed_pipeline_psum_counters(cpu_mesh):
     assert int(ok) == 2 * B
     # shared output stays sharded over the mesh
     assert shared.sharding.spec == jax.sharding.PartitionSpec("dp")
+
+
+def test_sharded_wrapper_matches_single_device(cpu_mesh):
+    """pmesh.sharded: per-shard execution of sign must equal the global
+    batched call (lane-local semantics)."""
+    from curve25519_tpu.models import ed25519
+    B, L = 16, 24
+    seed = jnp.asarray(rng.integers(0, 256, (B, 32), dtype=np.uint8))
+    msg = jnp.asarray(rng.integers(0, 256, (B, L), dtype=np.uint8))
+    mlen = jnp.full((B,), L, jnp.int32)
+    pk, priv = ed25519.create_keypair(seed)
+    sig_single = ed25519.sign(priv, msg, mlen)
+
+    f = pmesh.sharded(ed25519.sign, cpu_mesh)
+    sig_sharded = f(pmesh.shard_batch(priv, cpu_mesh),
+                    pmesh.shard_batch(msg, cpu_mesh),
+                    pmesh.shard_batch(mlen, cpu_mesh))
+    assert np.array_equal(np.asarray(sig_single), np.asarray(sig_sharded))
+    assert sig_sharded.sharding.spec == jax.sharding.PartitionSpec("dp")
+
+
+def test_pod_mesh_single_process():
+    m = pmesh.make_pod_mesh()
+    assert m.devices.size == len(jax.devices())
