@@ -296,3 +296,13 @@ def verify(sig, pk, msg, msg_len=None, strict=False):
     Reference ed25519_VerifySignature (ed25519_verify.c:163-173)."""
     return verify_check(verify_init(pk), sig, msg, msg_len=msg_len,
                         strict=strict)
+
+
+def verify_finish(ctx):
+    """Release a verify context's device buffers (reference
+    ed25519_Verify_Finish, include/ed25519_signature.h:93 — there it frees
+    the malloc'd EDP_SIGV_CTX; here it deletes the on-device arrays so HBM
+    is reclaimed without waiting for the GC)."""
+    for v in ctx.values():
+        if hasattr(v, "delete"):
+            v.delete()

@@ -155,3 +155,18 @@ def test_invalid_pubkey_rejected():
     sigs = jnp.stack([b2a(VECS[0][3])])
     msgs, lens = _pad_msgs([VECS[0][2]])
     assert not np.asarray(ed25519.verify(sigs, bad_pk, msgs, lens))[0]
+
+
+def test_verify_finish_and_blinding_finish():
+    """Context teardown API parity (reference Verify_Finish /
+    Blinding_Finish)."""
+    from curve25519_tpu.models import blinding
+    seed = jnp.asarray(rng.integers(0, 256, (4, 32), dtype=np.uint8))
+    pk, priv = ed25519.create_keypair(seed)
+    ctx = ed25519.verify_init(pk)
+    ed25519.verify_finish(ctx)
+    assert ctx["planes"].is_deleted()
+
+    bctx = blinding.blinding_init(b"finish-test")
+    blinding.blinding_finish(bctx)
+    assert bctx == {}
