@@ -83,3 +83,52 @@ def test_edwards_mixed_form_consistency():
     r1 = edwards.add_pe(Pq, edwards.to_pe(Qq))
     expect = refmodel.ed_add(refmodel.base_mult(k1), refmodel.base_mult(k2))
     assert _affine_ints(r1) == expect
+
+
+def test_dual_point_multiply_identity():
+    """v*G + u*(-A) == identity for v = u^2, A = u*G — the reference's
+    dual-point-multiply law (selftest :969-983), exercised through the
+    verify-path double-scalar multiply (q_table + poly multiply)."""
+    from curve25519_tpu.models import ed25519
+    from curve25519_tpu.ops import sc
+
+    B = 4
+    u_ints = [int.from_bytes(rng.bytes(32), "little") % ELL for _ in range(B)]
+    u = jnp.stack([jnp.asarray(int_to_limbs(v)) for v in u_ints])
+
+    # A = u*G packed; verify_init negates it into the q_table
+    s = edwards.base_point_mult(codec.scalar_bits(sc.to_bytes(u)))
+    ax, ay = edwards.to_affine(s)
+    a_packed = codec.pack_point(fe.to_bytes(ay), fe.canon(ax)[..., 0] & 1)
+    ctx = ed25519.verify_init(a_packed)
+    assert bool(np.all(np.asarray(ctx["ok"])))
+
+    v = sc.mul(u, u)                      # v = u^2 mod l
+    rx, ry = ed25519._poly_point_multiply(
+        codec.scalar_bits(sc.to_bytes(v)),
+        codec.scalar_bits(sc.to_bytes(u)), ctx["planes"])
+    # identity point: (x, y) = (0, 1)
+    assert bool(np.all(np.asarray(fe.is_zero(rx))))
+    assert bool(np.all(np.asarray(fe.eq(ry, fe.one(ry.shape[:-1])))))
+
+
+def test_sc_reduce_extremes():
+    """Order-arithmetic reduction at extreme column values — the analogue of
+    the reference's eco_ReduceHiWord overflow KATs (selftest :623-655)."""
+    from curve25519_tpu.ops import sc
+
+    # x * y at maximal canonical operands
+    m = ELL - 1
+    a = jnp.asarray(int_to_limbs(m))[None]
+    r = sc.mul(a, a)
+    assert limbs_to_int(np.asarray(r)[0]) == (m * m) % ELL
+
+    # mod of the largest normalized 260-bit value
+    big = (1 << 260) - 1
+    x = jnp.asarray(int_to_limbs(big))[None]
+    assert limbs_to_int(np.asarray(sc.mod(x))[0]) == big % ELL
+
+    # digest reduction of all-0xFF (largest 512-bit value)
+    md = jnp.full((1, 64), 255, jnp.uint8)
+    got = limbs_to_int(np.asarray(sc.from_digest(md))[0])
+    assert got == ((1 << 512) - 1) % ELL
