@@ -302,7 +302,9 @@ def verify_finish(ctx):
     """Release a verify context's device buffers (reference
     ed25519_Verify_Finish, include/ed25519_signature.h:93 — there it frees
     the malloc'd EDP_SIGV_CTX; here it deletes the on-device arrays so HBM
-    is reclaimed without waiting for the GC)."""
-    for v in ctx.values():
-        if hasattr(v, "delete"):
+    is reclaimed without waiting for the GC). The "pk" entry aliases the
+    caller's own key array (verify_init does not copy it) and is left
+    alone — the reference likewise never frees the caller's key."""
+    for k, v in ctx.items():
+        if k != "pk" and hasattr(v, "delete"):
             v.delete()

@@ -38,12 +38,12 @@ def make_pod_mesh(axis_name="dp"):
     contiguous batch shard maps onto one host's ICI domain and the only
     inter-host (DCN) traffic is the scalar psum of metrics. Call
     init_distributed first on multi-controller launches."""
-    import numpy as np
-    devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
-    return Mesh(np.asarray(devs), (axis_name,))
+    return make_mesh(sorted(jax.devices(),
+                            key=lambda d: (d.process_index, d.id)),
+                     axis_name)
 
 
-def sharded(fn, mesh, axis_name="dp", static_argnums=()):
+def sharded(fn, mesh, axis_name="dp"):
     """jit a batched model function with every array argument and result
     sharded on its leading (batch) axis — pure data parallelism.
 
@@ -54,7 +54,7 @@ def sharded(fn, mesh, axis_name="dp", static_argnums=()):
     is >= 1024 lanes."""
     inner = jax.shard_map(
         fn, mesh=mesh, in_specs=P(axis_name), out_specs=P(axis_name))
-    return jax.jit(inner, static_argnums=static_argnums)
+    return jax.jit(inner)
 
 
 def shard_batch(x, mesh, axis_name="dp"):

@@ -166,6 +166,9 @@ def test_verify_finish_and_blinding_finish():
     ctx = ed25519.verify_init(pk)
     ed25519.verify_finish(ctx)
     assert ctx["planes"].is_deleted()
+    # the caller's own key array aliases ctx["pk"] and must survive teardown
+    assert not pk.is_deleted()
+    np.asarray(pk)
 
     bctx = blinding.blinding_init(b"finish-test")
     blinding.blinding_finish(bctx)

@@ -106,3 +106,33 @@ def test_pallas_poly_mult_interpret_matches_scan():
                           np.asarray(fe.to_bytes(rx_ref)))
     assert np.array_equal(np.asarray(fe.to_bytes(ry_p)),
                           np.asarray(fe.to_bytes(ry_ref)))
+
+
+@pytest.mark.slow
+def test_pallas_verify_init_interpret_matches_scan():
+    """Verify_Init kernel (decompress + 192-double q_table build) vs the jnp
+    path, including an invalid (non-point) pubkey lane."""
+    from curve25519_tpu.models import ed25519, tables
+    from curve25519_tpu.ops.pallas import verify_kernel as vk
+    B = 32
+    seed = jnp.asarray(rng.integers(0, 256, (B, 32), dtype=np.uint8))
+    pk, _ = ed25519.create_keypair(seed)
+    pk_np = np.asarray(pk).copy()
+    pk_np[0] = rng.integers(0, 256, 32, dtype=np.uint8)  # likely invalid
+    pkj = jnp.asarray(pk_np)
+
+    ctx_ref = ed25519.verify_init(pkj)
+    y_bytes, parity = codec.unpack_parity(pkj)
+    arr, ok = vk.verify_init_pallas(fe.from_bytes(y_bytes), 1 - parity,
+                                    interpret=True)
+    planes = tables.pe_planes_from_array(arr)
+
+    w = 4 * 20
+    def canon_bytes(p):
+        v = p.astype(jnp.int32)
+        vals = (v[..., :w] + (v[..., w:] << 7)).reshape(
+            p.shape[:-2] + (16, 4, 20))
+        return np.asarray(fe.to_bytes(vals))
+
+    assert np.array_equal(canon_bytes(planes), canon_bytes(ctx_ref["planes"]))
+    assert np.array_equal(np.asarray(ok), np.asarray(ctx_ref["ok"]))
