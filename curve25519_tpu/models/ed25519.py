@@ -30,7 +30,7 @@ from curve25519_tpu.ops.sha512 import sha512
 
 __all__ = [
     "create_keypair", "sign", "verify", "verify_init", "verify_check",
-    "calculate_x", "unpack_point",
+    "verify_tablefree", "calculate_x", "unpack_point",
 ]
 
 
@@ -296,6 +296,66 @@ def verify(sig, pk, msg, msg_len=None, strict=False):
     Reference ed25519_VerifySignature (ed25519_verify.c:163-173)."""
     return verify_check(verify_init(pk), sig, msg, msg_len=msg_len,
                         strict=strict)
+
+
+def _select_point(mask, a, b):
+    return {k: fe.select(mask != 0, a[k], b[k]) for k in a}
+
+
+def verify_tablefree(sig, pk, msg, msg_len=None):
+    """Table-free verification oracle: R' = s*G + h*(-Q) by plain MSB-first
+    double-and-add over the raw scalar bits — no folding cuts, no q_table,
+    no precomputed tables beyond the base point itself. Reference
+    alt_ed25519_VerifySignature (test/curve25519_selftest.c:881-912), which
+    exists for the same reason: an independent, structurally different
+    verify to cross-check the folded fast paths against."""
+    sig = jnp.asarray(sig, dtype=jnp.uint8)
+    pk = jnp.asarray(pk, dtype=jnp.uint8)
+    msg = jnp.asarray(msg, dtype=jnp.uint8)
+    batch = jnp.broadcast_shapes(msg.shape[:-1], sig.shape[:-1],
+                                 pk.shape[:-1])
+    L = msg.shape[-1]
+    if msg_len is None:
+        msg_len = jnp.full(batch, L, jnp.int32)
+
+    hmsg = jnp.concatenate([
+        jnp.broadcast_to(sig[..., :32], batch + (32,)),
+        jnp.broadcast_to(pk, batch + (32,)),
+        jnp.broadcast_to(msg, batch + (L,))], -1)
+    h = sc.from_digest(sha512(hmsg, 64 + msg_len))
+
+    q, ok = unpack_point(jnp.broadcast_to(pk, batch + (32,)), negate=True)
+    q_pe = edwards.to_pe(q)
+
+    g = tables.folding8_table()[1]               # G as (YpX, YmX, T2d) limbs
+    g_pa = {"ypx": fe.vary_like(jnp.asarray(g[0]), q["y"]),
+            "ymx": fe.vary_like(jnp.asarray(g[1]), q["y"]),
+            "t2d": fe.vary_like(jnp.asarray(g[2]), q["y"])}
+
+    s_bits = jnp.broadcast_to(
+        codec.scalar_bits(sig[..., 32:]), batch + (256,))
+    h_bits = jnp.broadcast_to(
+        codec.scalar_bits(sc.to_bytes(h)), batch + (256,))
+    # MSB-first scan over the 256 bit positions
+    sb = jnp.moveaxis(s_bits, -1, 0)[::-1]
+    hb = jnp.moveaxis(h_bits, -1, 0)[::-1]
+
+    st = {k: fe.vary_like(v, q["y"])
+          for k, v in edwards.identity_ext(()).items()}
+
+    def body(st, bits):
+        sbit, hbit = bits
+        st = edwards.double(st)
+        st = _select_point(sbit, edwards.add_pa(st, g_pa), st)
+        st = _select_point(hbit, edwards.add_pe(st, q_pe), st)
+        return st, None
+
+    st, _ = jax.lax.scan(body, st, (sb, hb))
+    rx, ry = edwards.to_affine(st)
+    r_bytes = _pack(rx, ry)
+    return jnp.logical_and(
+        jnp.all(r_bytes == jnp.broadcast_to(sig[..., :32], batch + (32,)),
+                axis=-1), ok)
 
 
 def verify_finish(ctx):

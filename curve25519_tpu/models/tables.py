@@ -22,8 +22,8 @@ from curve25519_tpu.config import ED_2D, NLIMBS, P, int_to_limbs
 from curve25519_tpu import refmodel
 
 __all__ = [
-    "folding8_table", "folding8_planes", "gather_pa", "gather_pe",
-    "pe_planes_from_array",
+    "folding8_table", "folding8_planes", "folding4_table", "gather_pa",
+    "gather_pa4", "gather_pe", "pe_planes_from_array",
 ]
 
 
@@ -49,6 +49,48 @@ def folding8_table():
         out[idx, 1] = int_to_limbs((y - x) % P)
         out[idx, 2] = int_to_limbs(ED_2D * x * y % P)
     return out
+
+
+@functools.lru_cache(maxsize=None)
+def folding4_table():
+    """[16, 3, NLIMBS] int32 FOLDING-4 base table: subset sums of
+    P_i = 2^(64*i) * G, i = 0..3, in (YpX, YmX, T2d) form. The reference
+    selftest generates the same table as base_folding4.h (reference:
+    test/curve25519_selftest.c:455-497); a 4-fold base multiply trades the
+    folding-8 table's 256 entries for 16 at twice the loop length."""
+    points = []
+    g = refmodel.BASE
+    for i in range(4):
+        points.append(g)
+        for _ in range(64):
+            g = refmodel.ed_double(g)
+    out = np.zeros((16, 3, NLIMBS), dtype=np.int32)
+    for idx in range(16):
+        acc = refmodel.IDENTITY
+        for i in range(4):
+            if (idx >> i) & 1:
+                acc = refmodel.ed_add(acc, points[i])
+        x, y = acc
+        out[idx, 0] = int_to_limbs((y + x) % P)
+        out[idx, 1] = int_to_limbs((y - x) % P)
+        out[idx, 2] = int_to_limbs(ED_2D * x * y % P)
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _folding4_planes():
+    t = folding4_table()
+    return _split_planes(t.reshape(16, 3 * NLIMBS))
+
+
+def gather_pa4(cut):
+    """cut: [...] int32 index in [0, 16) -> PA point dict from the folding4
+    table (constant-time one-hot contraction)."""
+    w = 3 * NLIMBS
+    vals = _onehot_matmul(cut, _folding4_planes(), 16, w)
+    vals = vals.reshape(vals.shape[:-1] + (3, NLIMBS))
+    return {"ypx": vals[..., 0, :], "ymx": vals[..., 1, :],
+            "t2d": vals[..., 2, :]}
 
 
 def _split_planes(table_2d):

@@ -132,3 +132,60 @@ def test_sc_reduce_extremes():
     md = jnp.full((1, 64), 255, jnp.uint8)
     got = limbs_to_int(np.asarray(sc.from_digest(md))[0])
     assert got == ((1 << 512) - 1) % ELL
+
+
+def test_tablefree_verify_crosschecks_folded():
+    """The table-free double-and-add verify (reference
+    alt_ed25519_VerifySignature, selftest :881-912) must agree with the
+    folded two-phase verify on good, tampered, and wrong-key signatures."""
+    import jax
+    from curve25519_tpu.models import ed25519
+
+    B = 4
+    seed = jnp.asarray(rng.integers(0, 256, (B, 32), dtype=np.uint8))
+    msg = jnp.asarray(rng.integers(0, 256, (B, 48), dtype=np.uint8))
+    pk, priv = ed25519.create_keypair(seed)
+    sig = ed25519.sign(priv, msg)
+
+    ok_folded = np.asarray(jax.jit(ed25519.verify)(sig, pk, msg))
+    ok_free = np.asarray(jax.jit(ed25519.verify_tablefree)(sig, pk, msg))
+    assert ok_folded.all() and ok_free.all()
+
+    # tamper with each half of one signature
+    for byte in (3, 40):
+        bad = np.asarray(sig).copy()
+        bad[:, byte] ^= 0x40
+        got = np.asarray(ed25519.verify_tablefree(jnp.asarray(bad), pk, msg))
+        assert not got.any()
+
+    # wrong key: roll the pubkeys by one lane
+    pk_wrong = jnp.roll(pk, 1, axis=0)
+    assert not np.asarray(ed25519.verify_tablefree(sig, pk_wrong, msg)).any()
+
+
+def test_folding4_table_and_base_mult():
+    """FOLDING-4: the 16-entry table equals independently computed subset
+    sums (reference pre_compute_base_folding4, selftest :455-497) and the
+    4-fold base multiply agrees with the 8-fold path and the oracle."""
+    t = tables.folding4_table()
+    for idx in [0, 1, 5, 15]:
+        acc = refmodel.IDENTITY
+        g = refmodel.BASE
+        for i in range(4):
+            if (idx >> i) & 1:
+                acc = refmodel.ed_add(acc, g)
+            for _ in range(64):
+                g = refmodel.ed_double(g)
+        x, y = acc
+        assert limbs_to_int(t[idx, 0]) == (y + x) % P
+        assert limbs_to_int(t[idx, 1]) == (y - x) % P
+
+    k = int.from_bytes(rng.bytes(32), "little") % ELL
+    s4 = edwards.base_point_mult_fold4(_bits_of_int(k))
+    s8 = edwards.base_point_mult(_bits_of_int(k))
+    assert _affine_ints(s4) == _affine_ints(s8) == refmodel.base_mult(k)
+
+    # zr randomization must not change the result
+    zr = fe.from_int(0xDEADBEEF1234567)
+    s4r = edwards.base_point_mult_fold4(_bits_of_int(k), zr=zr)
+    assert _affine_ints(s4r) == refmodel.base_mult(k)
