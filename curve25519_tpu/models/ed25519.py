@@ -302,13 +302,16 @@ def _select_point(mask, a, b):
     return {k: fe.select(mask != 0, a[k], b[k]) for k in a}
 
 
-def verify_tablefree(sig, pk, msg, msg_len=None):
+def verify_tablefree(sig, pk, msg, msg_len=None, strict=False):
     """Table-free verification oracle: R' = s*G + h*(-Q) by plain MSB-first
     double-and-add over the raw scalar bits — no folding cuts, no q_table,
-    no precomputed tables beyond the base point itself. Reference
-    alt_ed25519_VerifySignature (test/curve25519_selftest.c:881-912), which
-    exists for the same reason: an independent, structurally different
-    verify to cross-check the folded fast paths against."""
+    no precomputed tables beyond the base point itself (G's PA form is built
+    straight from the curve constants, independent of the folding-table
+    generator). Reference alt_ed25519_VerifySignature
+    (test/curve25519_selftest.c:881-912), which exists for the same reason:
+    an independent, structurally different verify to cross-check the folded
+    fast paths against. `strict=True` applies the same RFC 8032 S < l check
+    as verify_check so the oracle covers both semantics."""
     sig = jnp.asarray(sig, dtype=jnp.uint8)
     pk = jnp.asarray(pk, dtype=jnp.uint8)
     msg = jnp.asarray(msg, dtype=jnp.uint8)
@@ -327,10 +330,16 @@ def verify_tablefree(sig, pk, msg, msg_len=None):
     q, ok = unpack_point(jnp.broadcast_to(pk, batch + (32,)), negate=True)
     q_pe = edwards.to_pe(q)
 
-    g = tables.folding8_table()[1]               # G as (YpX, YmX, T2d) limbs
-    g_pa = {"ypx": fe.vary_like(jnp.asarray(g[0]), q["y"]),
-            "ymx": fe.vary_like(jnp.asarray(g[1]), q["y"]),
-            "t2d": fe.vary_like(jnp.asarray(g[2]), q["y"])}
+    # G in PA form straight from the curve constants (not via the folding
+    # table machinery, so this oracle stays independent of it)
+    from curve25519_tpu.config import ED_2D, ED_BX, ED_BY, P, int_to_limbs
+    bx, by = ED_BX, ED_BY
+    g_pa = {"ypx": fe.vary_like(jnp.asarray(int_to_limbs((by + bx) % P)),
+                                q["y"]),
+            "ymx": fe.vary_like(jnp.asarray(int_to_limbs((by - bx) % P)),
+                                q["y"]),
+            "t2d": fe.vary_like(jnp.asarray(int_to_limbs(ED_2D * bx * by % P)),
+                                q["y"])}
 
     s_bits = jnp.broadcast_to(
         codec.scalar_bits(sig[..., 32:]), batch + (256,))
@@ -353,9 +362,14 @@ def verify_tablefree(sig, pk, msg, msg_len=None):
     st, _ = jax.lax.scan(body, st, (sb, hb))
     rx, ry = edwards.to_affine(st)
     r_bytes = _pack(rx, ry)
-    return jnp.logical_and(
+    result = jnp.logical_and(
         jnp.all(r_bytes == jnp.broadcast_to(sig[..., :32], batch + (32,)),
                 axis=-1), ok)
+    if strict:
+        s_red = sc.mod(fe.from_bytes(sig[..., 32:]))
+        canonical = jnp.all(sc.to_bytes(s_red) == sig[..., 32:], axis=-1)
+        result = jnp.logical_and(result, canonical)
+    return result
 
 
 def verify_finish(ctx):

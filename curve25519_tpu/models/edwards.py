@@ -94,17 +94,18 @@ def to_affine(p):
     return fe.mul(p["x"], zi), fe.mul(p["y"], zi)
 
 
-def base_point_mult(bits, zr=None):
-    """S = a*G via FOLDING-8: 31 x (double + constant-time table add).
-
-    bits: [..., 256] scalar bit tensor. zr: optional random field element for
-    the randomized projective start (2xR : 2yR : 2R : 2xyR), reference
-    edp_BasePointMult (ed25519_sign.c:215-244). Returns an Ext point."""
-    cut = fold.cut8(bits)                       # [..., 32]
+def _base_mult_folded(bits, zr, cut_fn, gather_fn):
+    """Shared folded base-point multiply: cut the scalar bits into fold
+    digits, seed the accumulator from digit 0 with the randomized projective
+    start (2xR : 2yR : 2R : 2xyR), then scan (double + constant-time table
+    add) over the remaining digits. Parameterized by the cut/gather pair so
+    the 8-fold and 4-fold variants share one body (a bound or invariant fix
+    applies to both)."""
+    cut = cut_fn(bits)                          # [..., ndigits]
     if zr is None:
         zr = fe.one(bits.shape[:-1])
 
-    p0 = tables.gather_pa(cut[..., 0])
+    p0 = gather_fn(cut[..., 0])
     zr = fe.vary_like(zr, p0["ypx"])
     x = fe.sub(p0["ypx"], p0["ymx"])            # 2x
     y = fe.add(p0["ypx"], p0["ymx"])            # 2y
@@ -112,15 +113,24 @@ def base_point_mult(bits, zr=None):
     s = {"x": fe.mul(x, zr), "y": fe.mul(y, zr),
          "z": fe.add(zr, zr), "t": fe.mul(t, zr)}
 
-    cut_scan = jnp.moveaxis(cut[..., 1:], -1, 0)  # [31, ...]
+    cut_scan = jnp.moveaxis(cut[..., 1:], -1, 0)  # [ndigits-1, ...]
 
     def body(st, ci):
         st = double(st)
-        st = add_pa(st, tables.gather_pa(ci))
+        st = add_pa(st, gather_fn(ci))
         return st, None
 
     s, _ = jax.lax.scan(body, s, cut_scan)
     return s
+
+
+def base_point_mult(bits, zr=None):
+    """S = a*G via FOLDING-8: 31 x (double + constant-time table add).
+
+    bits: [..., 256] scalar bit tensor. zr: optional random field element for
+    the randomized projective start, reference edp_BasePointMult
+    (ed25519_sign.c:215-244). Returns an Ext point."""
+    return _base_mult_folded(bits, zr, fold.cut8, tables.gather_pa)
 
 
 def base_point_mult_fold4(bits, zr=None):
@@ -129,24 +139,4 @@ def base_point_mult_fold4(bits, zr=None):
     (ecp_4Folds, curve25519_utils.c:125-143; table generator
     test/curve25519_selftest.c:455-497). Same semantics as base_point_mult;
     trades 16x less table memory for 2x the loop length."""
-    cut = fold.cut4(bits)                       # [..., 64]
-    if zr is None:
-        zr = fe.one(bits.shape[:-1])
-
-    p0 = tables.gather_pa4(cut[..., 0])
-    zr = fe.vary_like(zr, p0["ypx"])
-    x = fe.sub(p0["ypx"], p0["ymx"])            # 2x
-    y = fe.add(p0["ypx"], p0["ymx"])            # 2y
-    t = fe.mul(p0["t2d"], fe.from_int(ED_DI))   # 2xy
-    s = {"x": fe.mul(x, zr), "y": fe.mul(y, zr),
-         "z": fe.add(zr, zr), "t": fe.mul(t, zr)}
-
-    cut_scan = jnp.moveaxis(cut[..., 1:], -1, 0)  # [63, ...]
-
-    def body(st, ci):
-        st = double(st)
-        st = add_pa(st, tables.gather_pa4(ci))
-        return st, None
-
-    s, _ = jax.lax.scan(body, s, cut_scan)
-    return s
+    return _base_mult_folded(bits, zr, fold.cut4, tables.gather_pa4)

@@ -28,53 +28,44 @@ __all__ = [
 
 
 @functools.lru_cache(maxsize=None)
+def _folding_table(nfolds, ndoubles):
+    """[2^nfolds, 3, NLIMBS] int32 folding table: all subset sums of
+    P_i = 2^(ndoubles*i) * G, i = 0..nfolds-1, in (YpX, YmX, T2d) form.
+    Shared generator for the folding-8 and folding-4 variants — a bound or
+    invariant fix here applies to both."""
+    points = []
+    g = refmodel.BASE
+    for i in range(nfolds):
+        points.append(g)
+        for _ in range(ndoubles):
+            g = refmodel.ed_double(g)
+    nent = 1 << nfolds
+    out = np.zeros((nent, 3, NLIMBS), dtype=np.int32)
+    for idx in range(nent):
+        acc = refmodel.IDENTITY
+        for i in range(nfolds):
+            if (idx >> i) & 1:
+                acc = refmodel.ed_add(acc, points[i])
+        x, y = acc
+        out[idx, 0] = int_to_limbs((y + x) % P)
+        out[idx, 1] = int_to_limbs((y - x) % P)
+        out[idx, 2] = int_to_limbs(ED_2D * x * y % P)
+    return out
+
+
 def folding8_table():
     """[256, 3, NLIMBS] int32: (YpX, YmX, T2d) per entry; entry 0 is the
     identity (1, 1, 0) (reference base_folding8.h:6)."""
-    # P_i = 2^(32 i) * G
-    points = []
-    g = refmodel.BASE
-    for i in range(8):
-        points.append(g)
-        for _ in range(32):
-            g = refmodel.ed_double(g)
-    out = np.zeros((256, 3, NLIMBS), dtype=np.int32)
-    for idx in range(256):
-        acc = refmodel.IDENTITY
-        for i in range(8):
-            if (idx >> i) & 1:
-                acc = refmodel.ed_add(acc, points[i])
-        x, y = acc
-        out[idx, 0] = int_to_limbs((y + x) % P)
-        out[idx, 1] = int_to_limbs((y - x) % P)
-        out[idx, 2] = int_to_limbs(ED_2D * x * y % P)
-    return out
+    return _folding_table(8, 32)
 
 
-@functools.lru_cache(maxsize=None)
 def folding4_table():
     """[16, 3, NLIMBS] int32 FOLDING-4 base table: subset sums of
-    P_i = 2^(64*i) * G, i = 0..3, in (YpX, YmX, T2d) form. The reference
-    selftest generates the same table as base_folding4.h (reference:
-    test/curve25519_selftest.c:455-497); a 4-fold base multiply trades the
-    folding-8 table's 256 entries for 16 at twice the loop length."""
-    points = []
-    g = refmodel.BASE
-    for i in range(4):
-        points.append(g)
-        for _ in range(64):
-            g = refmodel.ed_double(g)
-    out = np.zeros((16, 3, NLIMBS), dtype=np.int32)
-    for idx in range(16):
-        acc = refmodel.IDENTITY
-        for i in range(4):
-            if (idx >> i) & 1:
-                acc = refmodel.ed_add(acc, points[i])
-        x, y = acc
-        out[idx, 0] = int_to_limbs((y + x) % P)
-        out[idx, 1] = int_to_limbs((y - x) % P)
-        out[idx, 2] = int_to_limbs(ED_2D * x * y % P)
-    return out
+    P_i = 2^(64*i) * G, i = 0..3. The reference selftest generates the same
+    table as base_folding4.h (reference: test/curve25519_selftest.c:455-497);
+    a 4-fold base multiply trades the folding-8 table's 256 entries for 16
+    at twice the loop length."""
+    return _folding_table(4, 64)
 
 
 @functools.lru_cache(maxsize=None)

@@ -4,10 +4,33 @@ jax.experimental.pallas."""
 
 import jax
 
+__all__ = ["use_pallas", "flatten_batch"]
+
 
 def use_pallas(batch_shape):
-    """Route large flat TPU batches through the Pallas kernels; everything
-    else (CPU tests, small/structured batches) uses the portable jnp path.
-    Decided at trace time (shapes and backend are static)."""
-    return (jax.default_backend() == "tpu" and len(batch_shape) == 1
-            and batch_shape[0] >= 1024)
+    """Route ALL TPU executions through the Pallas kernels; CPU (tests)
+    uses the portable jnp path. Decided at trace time (the backend is
+    static). Batch shape no longer gates routing: the kernel wrappers
+    flatten arbitrary leading batch axes and pad to a whole 1024-lane tile,
+    so a single-key call costs one tile — the same launch latency as a
+    full 1024 batch — instead of silently falling to the lane-wasting jnp
+    path (the TPU analogue of the reference's single-call latency path,
+    source/curve25519_dh.c:94-157)."""
+    del batch_shape
+    return jax.default_backend() == "tpu"
+
+
+def flatten_batch(batch_shape):
+    """Helpers for kernel wrappers that take arbitrary leading batch axes.
+
+    Returns (flat_n, unflatten) where flat_n = prod(batch_shape) (1 for a
+    scalar call) and unflatten(x) restores the leading axes on a [flat_n,
+    ...] result."""
+    import math
+    batch_shape = tuple(batch_shape)
+    flat_n = math.prod(batch_shape) if batch_shape else 1
+
+    def unflatten(x):
+        return x.reshape(batch_shape + x.shape[1:])
+
+    return flat_n, unflatten

@@ -201,15 +201,24 @@ def base_mult_tiled(cut_t, zr_t, bp_t=None, mode="affine", interpret=False):
 def base_mult_pallas(bits, zr=None, bp=None, mode="affine", interpret=False):
     """Batched folding base-point multiply via the Pallas kernel.
 
-    bits: [B, 256] scalar bits (flat batch); zr: optional [B, NLIMBS] or
-    [NLIMBS] projective randomizer; bp: optional PE point dict to add
-    (blinding). Pads B to a multiple of TILE_BATCH internally (pad lanes cut
-    to the identity). Returns (x, y) affine limb tensors [B, NLIMBS], or
-    (u, u) for mode="mont_u". Semantics match edwards.base_point_mult
+    bits: [..., 256] scalar bits (any batch shape — leading axes are
+    flattened and restored); zr: optional [..., NLIMBS] or [NLIMBS]
+    projective randomizer; bp: optional PE point dict to add (blinding).
+    Pads the flat batch to a multiple of TILE_BATCH internally (pad lanes
+    cut to the identity). Returns (x, y) affine limb tensors [..., NLIMBS],
+    or (u, u) for mode="mont_u". Semantics match edwards.base_point_mult
     composed with to_affine / the birational map."""
     from curve25519_tpu.ops import fe
+    from curve25519_tpu.ops.pallas import flatten_batch
 
-    b = bits.shape[0]
+    batch = bits.shape[:-1]
+    b, unflatten = flatten_batch(batch)
+    bits = bits.reshape(b, 256)
+    if zr is not None:
+        zr = jnp.broadcast_to(zr, batch + (NLIMBS,)).reshape(b, NLIMBS)
+    if bp is not None:
+        bp = {k: jnp.broadcast_to(v, batch + (NLIMBS,)).reshape(b, NLIMBS)
+              for k, v in bp.items()}
     bpad = ((b + ft.TILE_BATCH - 1) // ft.TILE_BATCH) * ft.TILE_BATCH
     g = bpad // ft.TILE_BATCH
 
@@ -220,9 +229,8 @@ def base_mult_pallas(bits, zr=None, bp=None, mode="affine", interpret=False):
     if zr is None:
         zr_l = fe.one((bpad,))
     else:
-        zr_l = jnp.broadcast_to(zr, (b, NLIMBS))
         zr_l = jnp.concatenate(
-            [zr_l, jnp.broadcast_to(fe.one(()), (bpad - b, NLIMBS))], 0)
+            [zr, jnp.broadcast_to(fe.one(()), (bpad - b, NLIMBS))], 0)
 
     bp_t = None
     if bp is not None:
@@ -238,4 +246,5 @@ def base_mult_pallas(bits, zr=None, bp=None, mode="affine", interpret=False):
     x_t, y_t = base_mult_tiled(
         ft.tile_lanes(cut, g), ft.tile_lanes(zr_l, g), bp_t,
         mode=mode, interpret=interpret)
-    return ft.untile_lanes(x_t)[:b], ft.untile_lanes(y_t)[:b]
+    return (unflatten(ft.untile_lanes(x_t)[:b]),
+            unflatten(ft.untile_lanes(y_t)[:b]))

@@ -110,17 +110,18 @@ _untile = ft.untile_lanes
 def point_multiply_pallas(point_bytes, sk_bytes, zr=None, interpret=False):
     """Drop-in batched Q = k*P on 32-byte encodings via the Pallas kernel.
 
-    Requires a flat batch; pads it to a multiple of TILE_BATCH (1024)
-    internally. Semantics identical to models.montgomery.point_multiply."""
+    Accepts any batch shape (including a single unbatched call): leading
+    axes are flattened, the flat batch padded to a multiple of TILE_BATCH
+    (1024), and the result unflattened. Semantics identical to
+    models.montgomery.point_multiply."""
+    from curve25519_tpu.ops.pallas import flatten_batch
+
     point_bytes = jnp.asarray(point_bytes, jnp.uint8)
     sk = codec.clamp(jnp.asarray(sk_bytes, jnp.uint8))
-    if point_bytes.ndim == 1:
-        point_bytes = point_bytes[None]
-    if sk.ndim == 1:
-        sk = sk[None]
-    b = max(point_bytes.shape[0], sk.shape[0])
-    point_bytes = jnp.broadcast_to(point_bytes, (b, 32))
-    sk = jnp.broadcast_to(sk, (b, 32))
+    batch = jnp.broadcast_shapes(point_bytes.shape[:-1], sk.shape[:-1])
+    b, unflatten = flatten_batch(batch)
+    point_bytes = jnp.broadcast_to(point_bytes, batch + (32,)).reshape(b, 32)
+    sk = jnp.broadcast_to(sk, batch + (32,)).reshape(b, 32)
 
     bp = ((b + ft.TILE_BATCH - 1) // ft.TILE_BATCH) * ft.TILE_BATCH
     g = bp // ft.TILE_BATCH
@@ -135,8 +136,10 @@ def point_multiply_pallas(point_bytes, sk_bytes, zr=None, interpret=False):
     if zr is None:
         zr_l = fe.one((bp,))
     else:
-        zr_l = jnp.broadcast_to(zr, (bp, NLIMBS))
+        zr_l = jnp.broadcast_to(zr, batch + (NLIMBS,)).reshape(b, NLIMBS)
+        zr_l = jnp.concatenate(
+            [zr_l, jnp.broadcast_to(fe.one(()), (bp - b, NLIMBS))], 0)
     out_t = ladder_tiled(_tile(u, g), _tile(k, g), _tile(zr_l, g),
                          interpret=interpret)
     x = _untile(out_t)[:b]
-    return fe.to_bytes(x)
+    return unflatten(fe.to_bytes(x))

@@ -203,10 +203,16 @@ def verify_init_tiled(y_t, par_t, interpret=False):
 
 
 def verify_init_pallas(y_limbs, parity, interpret=False):
-    """Batched q_table build. y_limbs: [B, NLIMBS]; parity: [B] int32
-    (already inverted for -Q). Returns (qt [B, 16, 4, NLIMBS] int32 weak-all
-    limb array, ok [B] bool)."""
-    b = y_limbs.shape[0]
+    """Batched q_table build. y_limbs: [..., NLIMBS]; parity: [...] int32
+    (already inverted for -Q). Any batch shape — leading axes are flattened
+    and restored. Returns (qt [..., 16, 4, NLIMBS] int32 weak-all limb
+    array, ok [...] bool)."""
+    from curve25519_tpu.ops.pallas import flatten_batch
+
+    batch = y_limbs.shape[:-1]
+    b, unflatten = flatten_batch(batch)
+    y_limbs = y_limbs.reshape(b, NLIMBS)
+    parity = jnp.broadcast_to(parity, batch).reshape(b)
     bpad = ((b + ft.TILE_BATCH - 1) // ft.TILE_BATCH) * ft.TILE_BATCH
     g = bpad // ft.TILE_BATCH
 
@@ -220,16 +226,24 @@ def verify_init_pallas(y_limbs, parity, interpret=False):
         interpret=interpret)
     qt = ft.untile_lanes(qt_t)[:b].reshape(b, 16, 4, NLIMBS)
     ok = ft.untile_lanes(ok_t)[:b, 0] != 0
-    return qt, ok
+    return unflatten(qt), unflatten(ok)
 
 
 def poly_mult_pallas(s_bits, h_bits, planes, interpret=False):
     """Batched R' = s*G + h*(-Q) via the Pallas kernel.
 
-    s_bits/h_bits: [B, 256] scalar bits; planes: [B, 16, 8*NLIMBS] int8 — the
-    Verify_Init context's plane-split q_table (models/ed25519.verify_init).
-    Returns affine (x, y) limb tensors [B, NLIMBS]."""
-    b = s_bits.shape[0]
+    s_bits/h_bits: [..., 256] scalar bits; planes: [..., 16, 8*NLIMBS] int8 —
+    the Verify_Init context's plane-split q_table (models/ed25519.verify_init).
+    Any batch shape — leading axes are flattened and restored. Returns affine
+    (x, y) limb tensors [..., NLIMBS]."""
+    from curve25519_tpu.ops.pallas import flatten_batch
+
+    batch = s_bits.shape[:-1]
+    b, unflatten = flatten_batch(batch)
+    s_bits = s_bits.reshape(b, 256)
+    h_bits = jnp.broadcast_to(h_bits, batch + (256,)).reshape(b, 256)
+    planes = jnp.broadcast_to(
+        planes, batch + planes.shape[-2:]).reshape((b,) + planes.shape[-2:])
     bpad = ((b + ft.TILE_BATCH - 1) // ft.TILE_BATCH) * ft.TILE_BATCH
     g = bpad // ft.TILE_BATCH
 
@@ -247,4 +261,5 @@ def poly_mult_pallas(s_bits, h_bits, planes, interpret=False):
     x_t, y_t = poly_mult_tiled(
         ft.tile_lanes(padd(u), g), ft.tile_lanes(padd(v), g),
         ft.tile_lanes(padd(qt), g), interpret=interpret)
-    return ft.untile_lanes(x_t)[:b], ft.untile_lanes(y_t)[:b]
+    return (unflatten(ft.untile_lanes(x_t)[:b]),
+            unflatten(ft.untile_lanes(y_t)[:b]))

@@ -6,7 +6,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from curve25519_tpu import refmodel
-from curve25519_tpu.config import ELL, P, int_to_limbs, limbs_to_int
+from curve25519_tpu.config import ED_2D, ELL, P, int_to_limbs, limbs_to_int
 from curve25519_tpu.models import edwards, tables
 from curve25519_tpu.ops import codec, fe
 
@@ -61,6 +61,7 @@ def test_folding_table_regeneration():
         x, y = acc
         assert limbs_to_int(t[idx, 0]) == (y + x) % P
         assert limbs_to_int(t[idx, 1]) == (y - x) % P
+        assert limbs_to_int(t[idx, 2]) == ED_2D * x * y % P
 
 
 def test_scalar_mult_linearity():
@@ -179,6 +180,7 @@ def test_folding4_table_and_base_mult():
         x, y = acc
         assert limbs_to_int(t[idx, 0]) == (y + x) % P
         assert limbs_to_int(t[idx, 1]) == (y - x) % P
+        assert limbs_to_int(t[idx, 2]) == ED_2D * x * y % P
 
     k = int.from_bytes(rng.bytes(32), "little") % ELL
     s4 = edwards.base_point_mult_fold4(_bits_of_int(k))
