@@ -25,11 +25,13 @@ curve25519_tpu/native/libref25519.so: curve25519_tpu/native/ref25519.cpp
 custom:
 	$(PY) -m curve25519_tpu.tools.custom_tool b
 
+# -n 2: pytest-xdist over both host cores (the suite is XLA-compile-bound);
+# `time` prints the wall-clock so the fast tier's budget stays visible.
 test:
-	$(PY) -m pytest tests/ -q -m "not slow"
+	time $(PY) -m pytest tests/ -q -m "not slow" -n 2
 
 test-all:
-	$(PY) -m pytest tests/ -q
+	time $(PY) -m pytest tests/ -q -n 2
 
 bench:
 	$(PY) bench.py

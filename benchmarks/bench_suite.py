@@ -32,6 +32,7 @@ BASELINES = {
     "ed25519_verify_oneshot": 14_800.0,   # init+check per op
     "sha512_64b": 150_000.0,              # ~order-of a fast scalar impl
     "mixed_dh_sign_verify": 20_000.0,     # blended single-core estimate
+    "x25519_single_call_latency": 12_549.0,  # 1/latency vs one ref call
 }
 
 
@@ -84,6 +85,18 @@ def main():
     f = jax.jit(x25519.create_shared_key)
     emit("x25519_shared_secret", B / bench_chain(f, (peer, sk), reps),
          {"batch": B})
+
+    # single-call / small-batch latency: 1, 64 and 1024 lanes all run the
+    # same one-tile padded kernel (the reference's single-op regime,
+    # README.md:86 — there 43K cycles; here one kernel launch + tunnel
+    # dispatch). value = 1/latency of the single call.
+    t1 = bench_chain(f, (peer[:1], sk[:1]), reps)
+    t64 = bench_chain(f, (peer[:64], sk[:64]), reps)
+    t1k = bench_chain(f, (peer[:1024], sk[:1024]), reps)
+    emit("x25519_single_call_latency", 1.0 / t1,
+         {"batch": 1, "latency_ms": round(t1 * 1e3, 3),
+          "batch64_ms": round(t64 * 1e3, 3),
+          "batch1024_ms": round(t1k * 1e3, 3)})
 
     # config 3: 8-fold base-point multiply (folding kernel)
     f = jax.jit(x25519.calculate_public_key_fast)

@@ -31,6 +31,7 @@ from curve25519_tpu.ops.sha512 import sha512
 __all__ = [
     "create_keypair", "sign", "verify", "verify_init", "verify_check",
     "verify_tablefree", "calculate_x", "unpack_point",
+    "sign_ragged", "verify_ragged",
 ]
 
 
@@ -205,8 +206,6 @@ def verify_init(pk):
     for d, s in [(9, 1), (10, 2), (11, 3), (12, 4), (13, 5), (14, 6), (15, 7)]:
         qt[d] = edwards.to_pe(edwards.add_pe(q, qt[s]))
 
-    # weak-all limbs (<= 9500 < 2^14) split exactly into 7-bit int8 planes,
-    # so no canonicalization is needed before caching
     arr = jnp.stack([
         jnp.stack([e["ypx"], e["ymx"], e["t2d"], e["z2"]], axis=-2)
         for e in qt], axis=-3)                    # [..., 16, 4, NLIMBS]
@@ -370,6 +369,50 @@ def verify_tablefree(sig, pk, msg, msg_len=None, strict=False):
         canonical = jnp.all(sc.to_bytes(s_red) == sig[..., 32:], axis=-1)
         result = jnp.logical_and(result, canonical)
     return result
+
+
+# ---------------------------------------------------------------------------
+# Ragged (mixed-length) batches: bucket by SHA-512 block count so a batch of
+# wildly different message lengths costs one compile per distinct block
+# count and no lane hashes padding blocks for other lanes' lengths (the
+# fixed-shape answer to the reference's streaming Update/Final,
+# source/sha512.c:118-157; see utils/bucketing.py).
+# ---------------------------------------------------------------------------
+_sign_jit = None
+_verify_jit = None
+
+
+def sign_ragged(priv, msgs, blinding=None):
+    """Sign a ragged batch: priv [N, 64] (or broadcastable), msgs a list of
+    bytes-like objects. Returns [N, 64] uint8 signatures in input order."""
+    global _sign_jit
+    from curve25519_tpu.utils import bucketing
+    priv = jnp.asarray(priv, jnp.uint8)
+    priv = jnp.broadcast_to(priv, (len(msgs), 64))
+    if _sign_jit is None:
+        _sign_jit = jax.jit(lambda m, l, p: sign(p, m, l))
+    if blinding is None:
+        return bucketing.apply_bucketed(_sign_jit, msgs, priv)
+    fn = jax.jit(lambda m, l, p: sign(
+        p, m, l, blinding=jax.tree_util.tree_map(
+            lambda v: jnp.broadcast_to(v, m.shape[:1] + v.shape[-1:]),
+            blinding)))
+    return bucketing.apply_bucketed(fn, msgs, priv)
+
+
+def verify_ragged(sig, pk, msgs, strict=False):
+    """Verify a ragged batch: sig [N, 64], pk [N, 32] (or broadcastable),
+    msgs a list of bytes-like objects. Returns [N] bool in input order."""
+    global _verify_jit
+    from curve25519_tpu.utils import bucketing
+    sig = jnp.broadcast_to(jnp.asarray(sig, jnp.uint8), (len(msgs), 64))
+    pk = jnp.broadcast_to(jnp.asarray(pk, jnp.uint8), (len(msgs), 32))
+    if _verify_jit is None:
+        _verify_jit = jax.jit(
+            lambda m, l, s, p, strict: verify(s, p, m, l, strict=strict),
+            static_argnums=(4,))
+    return bucketing.apply_bucketed(
+        lambda m, l, s, p: _verify_jit(m, l, s, p, strict), msgs, sig, pk)
 
 
 def verify_finish(ctx):

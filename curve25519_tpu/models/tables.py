@@ -121,8 +121,12 @@ def gather_pa(cut):
 
 
 def pe_planes_from_array(pe_array):
-    """Split a runtime-built PE table [..., N, 4, NLIMBS] (canonical limbs)
-    into int8 planes [..., N, 8*NLIMBS] for constant-time gathering."""
+    """Split a runtime-built PE table [..., N, 4, NLIMBS] into int8 planes
+    [..., N, 8*NLIMBS] for constant-time gathering. Limbs are canonicalized
+    first: the 7-bit plane split is exact only for values in [0, 2^14), and
+    signed-weak limbs (ops/fe.py invariant) may be negative."""
+    from curve25519_tpu.ops import fe
+    pe_array = fe.canon(pe_array)
     n = pe_array.shape[-3]
     flat = pe_array.reshape(pe_array.shape[:-3] + (n, 4 * NLIMBS))
     lo = (flat & 0x7F).astype(jnp.int8)

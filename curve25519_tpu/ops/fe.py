@@ -16,24 +16,36 @@ and adds the shifted carry vector (5 XLA ops total for all limbs — on a CPU
 this would be a loop; on the TPU VPU it is one vector op per term). Limbs
 between ops obey the
 
-    WEAK-ALL INVARIANT:  0 <= limb[i] <= WEAK_MAX = 9500  for every i,
+    SIGNED-WEAK INVARIANT:  -1217 <= limb[i] <= WEAK_MAX = 9500  for every i,
 
-which two parallel carry steps restore from any <= 2^27 column value, and
-which keeps every 20x20 schoolbook column sum <= 20 * 9500^2 < 2^31
-(int32-safe). The wrap-around carry out of limb 19 folds back into limb 0
-with 2^260 = 608 (mod p) — the lazy-reduction analogue of the reference's
-2^256 = 38 trick (source/curve25519_mehdi.c:278-330). Exact bound analysis:
+i.e. |limb| <= 9500, which keeps every 20x20 schoolbook column sum bounded
+by 20 * 9500^2 < 2^31 (int32-safe; masks/arithmetic shifts are floor-exact
+for signed int32, so every carry step is value-preserving for signed
+digits). The wrap-around carry out of limb 19 folds back into limb 0 with
+2^260 = 608 (mod p) — the lazy-reduction analogue of the reference's
+2^256 = 38 trick (source/curve25519_mehdi.c:278-330). Allowing the small
+negative underhang buys add/sub/neg a SINGLE wrap carry round (two were
+needed when outputs had to be non-negative). Exact bound analysis, with
+inputs in [-1217, 9500] (mechanically verified by tests/test_bounds.py,
+which propagates worst-case intervals through every op to a fixpoint):
 
-    mul: cols <= 20*9500^2 < 2^30.75
-         one widening carry step    -> digits <= 2^13 + 2^17.75
-         fold high*608              -> 20 digits <= 609 * 2^17.76 < 2^27
-         two wrap carry steps       -> <= 9483   [weak-all]
-    add: sum <= 19000 -> two wrap steps -> <= 9409
-    sub: x - y + PAD (PAD = 4096p with every digit ~2^20 > WEAK_MAX,
-         so limbs stay non-negative) <= 2^20.01 -> two wrap steps -> <= 8800
+    mul: |cols| <= 20*9500^2 < 2^30.75
+         one widening carry step    -> |digits| <= 2^13 + 2^17.75
+         fold high*608              -> 20 digits, |r| <= 609 * 2^17.76 < 2^27
+         wrap round 1               -> limb0 in +-608*2^14, rest [-2^14, 8191+2^14]
+         wrap round 2               -> limb0 [-1216, 9407], limb1 [-1217, 9408],
+                                       rest [-2, 8193]
+    add: x + y in [-2434, 19000] -> ONE wrap round -> [-608, 9407]
+    sub: x - y + PAD (PAD = 32p with borrow-raised digits ~2^14.6 except the
+         top, which may go transiently negative) -> ONE wrap round
+         -> limb0 [-608, 9407], rest [1, 8195]
+    sqr: via s = x + x (|s| <= 19000): cross columns use s_i * x_j so the
+         doubling is free; |cols| <= 10*19000*9500 + 9500^2 < 2^31
 
 ``canon`` produces the unique canonical representative (< p, fully
-normalized, via an exact sequential carry) for encoding/comparison only.
+normalized, via an exact sequential carry) for encoding/comparison only; it
+first adds 8p (all of whose base-2^13 digits are >= 2047) so signed-weak
+digits become non-negative without leaving its q-estimate range.
 """
 
 import jax
@@ -48,10 +60,11 @@ __all__ = [
     "zero", "one", "from_int", "add", "sub", "neg", "mul", "sqr",
     "mul_small_add", "canon", "inv", "pow2523", "is_zero", "eq",
     "select", "vary_like", "to_bytes", "from_bytes", "sqrt_ratio",
-    "WEAK_MAX",
+    "WEAK_MAX", "WEAK_MIN",
 ]
 
 WEAK_MAX = 9500
+WEAK_MIN = -1217
 
 # Static constant limb vectors -------------------------------------------------
 _P_LIMBS = int_to_limbs(P)
@@ -66,6 +79,11 @@ _SUB_PAD = np.full(NLIMBS, (1 << 13) - 1 + 16384 - 2, dtype=np.int32)
 _SUB_PAD[0] = (1 << 13) - 1 - 607 + 16384
 _SUB_PAD[19] = (1 << 13) - 1 - 2
 assert sum(int(v) << (BITS * i) for i, v in enumerate(_SUB_PAD)) == 32 * P
+
+# canon's sign-lift pad: the plain base-2^13 digits of 8p (min digit 2047,
+# enough to absorb the signed-weak underhang of -1217).
+_CANON_PAD = int_to_limbs(8 * P)
+assert min(int(v) for v in _CANON_PAD) >= 2047
 
 
 def _const(v):
@@ -94,7 +112,7 @@ def _pcarry_wrap(x):
 
 
 def _reduce20(cols):
-    """Two wrap carry steps: any |column| <= 2^27 -> weak-all limbs."""
+    """Two wrap carry steps: any |column| <= 2^27 -> signed-weak limbs."""
     return _pcarry_wrap(_pcarry_wrap(cols))
 
 
@@ -134,17 +152,20 @@ def from_int(v, shape=()):
 
 
 def add(x, y):
-    """z = x + y (mod p), reference ecp_AddReduce (curve25519_mehdi.c:134)."""
-    return _reduce20(x + y)
+    """z = x + y (mod p), reference ecp_AddReduce (curve25519_mehdi.c:134).
+    One wrap round: x + y in [-2434, 19000] -> limbs in [-608, 9407]."""
+    return _pcarry_wrap(x + y)
 
 
 def sub(x, y):
-    """z = x - y (mod p), reference ecp_SubReduce (curve25519_mehdi.c:161)."""
-    return _reduce20(x - y + _const(_SUB_PAD))
+    """z = x - y (mod p), reference ecp_SubReduce (curve25519_mehdi.c:161).
+    One wrap round: digits of x - y + PAD are in [13856, 35290] except the
+    top in [-2528, 18906] -> limbs in [-608, 9407]."""
+    return _pcarry_wrap(x - y + _const(_SUB_PAD))
 
 
 def neg(y):
-    return _reduce20(_const(_SUB_PAD) - y)
+    return _pcarry_wrap(_const(_SUB_PAD) - y)
 
 
 def _mul_cols(x, y):
@@ -205,10 +226,13 @@ def canon(x):
     """Full reduction to the canonical representative in [0, p).
 
     Reference ecp_Mod (curve25519_mehdi.c:185-209): branchless double
-    conditional subtract. Weak-all input value < 1.17 * 2^260, so the first
-    exact carry's overflow c is in {0, 1}; after folding it, estimate
-    q = value >> 255 from the top limb, subtract q*p (always non-negative),
-    then one conditional subtract of p."""
+    conditional subtract. Signed-weak digits are first made non-negative by
+    adding 8p (every base-2^13 digit of 8p is >= 2047 > 1217); the padded
+    value is < 1.17 * 2^260 + 2^258 < 2 * 2^260, so the first exact carry's
+    overflow c stays in {0, 1}; after folding it, estimate q = value >> 255
+    from the top limb, subtract q*p (always non-negative), then one
+    conditional subtract of p."""
+    x = x + _const(_CANON_PAD)
     d, c = _carry_seq(x, NLIMBS)
     d = d.at[..., 0].add(FOLD * c)
     d, _ = _carry_seq(d, NLIMBS)          # value < 2^260, fully normalized
@@ -295,30 +319,38 @@ def sqrt_ratio(u, v):
 
 # ---------------------------------------------------------------------------
 # Byte codec (little-endian 32-byte strings, reference curve25519_utils.c)
+#
+# Byte-arithmetic, not bit-unpacking: limb i is bits [13i, 13i+13) of the
+# 256-bit value, which always lie inside the three bytes starting at
+# 13i // 8; byte j is bits [8j, 8j+8), which straddle at most two limbs.
+# Static [20, 3] / [32] gather indices + shifts replace the [..., 256]
+# bit-tensor intermediates (~40x fewer VPU ops; this path is ~10% of the
+# X25519 wall-clock at batch 64K).
 # ---------------------------------------------------------------------------
+_FB_J = np.array([(13 * i) // 8 for i in range(NLIMBS)])         # start byte
+_FB_S = np.array([(13 * i) % 8 for i in range(NLIMBS)], np.int32)
+_TB_I = np.array([(8 * j) // 13 for j in range(32)])             # start limb
+_TB_S = np.array([8 * j - 13 * ((8 * j) // 13) for j in range(32)], np.int32)
+
+
 def to_bytes(x):
     """Canonical little-endian 32-byte encoding: [..., 32] uint8.
 
     Reference ecp_WordsToBytes (curve25519_utils.c:61) composed with a full
     reduction (callers of the reference do ecp_Mod/MulMod first)."""
     d = canon(x)
-    shifts = jnp.arange(BITS, dtype=jnp.int32)
-    bits = (d[..., :, None] >> shifts) & 1          # [..., 20, 13]
-    bits = bits.reshape(bits.shape[:-2] + (NLIMBS * BITS,))[..., :256]
-    bytes_ = bits.reshape(bits.shape[:-1] + (32, 8))
-    weights = (1 << jnp.arange(8, dtype=jnp.int32))
-    return jnp.sum(bytes_ * weights, axis=-1).astype(jnp.uint8)
+    d = jnp.concatenate(
+        [d, jnp.zeros(d.shape[:-1] + (1,), jnp.int32)], axis=-1)  # limb 20 = 0
+    lo = d[..., _TB_I] >> _const(_TB_S)
+    hi = d[..., _TB_I + 1] << (BITS - _const(_TB_S))
+    return ((lo | hi) & 0xFF).astype(jnp.uint8)
 
 
 def from_bytes(b):
     """[..., 32] uint8 little-endian -> limbs (normalized, NOT reduced mod p,
     matching reference ecp_BytesToWords semantics, curve25519_utils.c:43)."""
     b = b.astype(jnp.int32)
-    shifts = jnp.arange(8, dtype=jnp.int32)
-    bits = (b[..., :, None] >> shifts) & 1          # [..., 32, 8]
-    bits = bits.reshape(bits.shape[:-2] + (256,))
-    pad = jnp.zeros(bits.shape[:-1] + (NLIMBS * BITS - 256,), jnp.int32)
-    bits = jnp.concatenate([bits, pad], axis=-1)
-    bits = bits.reshape(bits.shape[:-1] + (NLIMBS, BITS))
-    weights = (1 << jnp.arange(BITS, dtype=jnp.int32))
-    return jnp.sum(bits * weights, axis=-1).astype(jnp.int32)
+    b = jnp.concatenate(
+        [b, jnp.zeros(b.shape[:-1] + (2,), jnp.int32)], axis=-1)  # [..., 34]
+    w = (b[..., _FB_J] | (b[..., _FB_J + 1] << 8) | (b[..., _FB_J + 2] << 16))
+    return (w >> _const(_FB_S)) & MASK

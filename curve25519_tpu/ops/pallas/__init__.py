@@ -15,8 +15,16 @@ def use_pallas(batch_shape):
     so a single-key call costs one tile — the same launch latency as a
     full 1024 batch — instead of silently falling to the lane-wasting jnp
     path (the TPU analogue of the reference's single-call latency path,
-    source/curve25519_dh.c:94-157)."""
+    source/curve25519_dh.c:94-157).
+
+    A pinned non-TPU jax_default_device wins over the backend priority:
+    the axon TPU plugin keeps default_backend() == "tpu" even when tests /
+    the multichip dryrun pin execution to CPU devices, where the Mosaic
+    kernels cannot run."""
     del batch_shape
+    dev = jax.config.jax_default_device
+    if dev is not None:
+        return getattr(dev, "platform", "tpu") == "tpu"
     return jax.default_backend() == "tpu"
 
 

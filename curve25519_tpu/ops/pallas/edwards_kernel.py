@@ -38,39 +38,50 @@ from curve25519_tpu.config import ED_DI, NLIMBS, int_to_limbs
 from curve25519_tpu.ops import fold
 from curve25519_tpu.ops.pallas import fe_tile as ft
 
-__all__ = ["base_mult_tiled", "base_mult_pallas", "folding8_planes_T"]
+__all__ = ["base_mult_tiled", "base_mult_pallas", "folding8_planes_T",
+           "folding_planes_T"]
 
 _W = 64          # 3 coords x 20 limbs = 60, padded to 64 matmul columns
 _CUTS = 32
 
 
 @functools.lru_cache(maxsize=None)
-def _planes_T_np():
-    """[2*_W, 256] f32: the folding8 table, 7-bit plane-split and transposed
-    for the in-kernel one-hot matmul. Row r < _W = lo 7 bits of flattened
-    limb r (coords ypx/ymx/t2d, 20 limbs each); row _W + r = high bits."""
+def _planes_T_np(nfolds):
+    """[2*_W, 2^nfolds] f32: the folding table, 7-bit plane-split and
+    transposed for the in-kernel one-hot matmul. Row r < _W = lo 7 bits of
+    flattened limb r (coords ypx/ymx/t2d, 20 limbs each); row _W + r = high
+    bits. nfolds=8 -> the 256-entry table, nfolds=4 -> the 16-entry one
+    (reference base_folding8.h / pre_compute_base_folding4)."""
     from curve25519_tpu.models import tables
-    t = np.asarray(tables.folding8_table()).reshape(256, 3 * NLIMBS)
-    padded = np.zeros((256, _W), np.int32)
+    nent = 1 << nfolds
+    t = (tables.folding8_table() if nfolds == 8
+         else tables.folding4_table())
+    t = np.asarray(t).reshape(nent, 3 * NLIMBS)
+    padded = np.zeros((nent, _W), np.int32)
     padded[:, :3 * NLIMBS] = t
-    planes = np.concatenate([padded & 0x7F, padded >> 7], axis=1)  # [256,128]
+    planes = np.concatenate([padded & 0x7F, padded >> 7], axis=1)
     return planes.T.astype(np.float32)
 
 
+def folding_planes_T(nfolds=8):
+    return jnp.asarray(_planes_T_np(nfolds), jnp.bfloat16)
+
+
 def folding8_planes_T():
-    return jnp.asarray(_planes_T_np(), jnp.bfloat16)
+    return folding_planes_T(8)
 
 
 def _gather_pa(planes, idx):
     """Constant-time table fetch for all 1024 lanes of one tile.
 
-    planes: [2*_W, 256] bf16; idx: [8, 128] int32 in [0, 256).
+    planes: [2*_W, nent] bf16; idx: [8, 128] int32 in [0, nent).
     Returns (ypx, ymx, t2d) limb tiles [NLIMBS, 8, 128] int32. Exact: 7-bit
     plane values and one-hot entries are both bf16-exact, accumulation is
     f32 on the MXU."""
-    iota = jax.lax.broadcasted_iota(jnp.int32, (256, ft.TILE_S, ft.TILE_L), 0)
+    nent = planes.shape[-1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (nent, ft.TILE_S, ft.TILE_L), 0)
     oh = (iota == idx[None]).astype(jnp.bfloat16)
-    oh = oh.reshape(256, ft.TILE_BATCH)                       # [256, 1024]
+    oh = oh.reshape(nent, ft.TILE_BATCH)                      # [nent, 1024]
     flat = jax.lax.dot(planes, oh,
                        preferred_element_type=jnp.float32)    # [128, 1024]
     vals = flat.reshape(2 * _W, ft.TILE_S, ft.TILE_L).astype(jnp.int32)
@@ -124,7 +135,8 @@ def _add_pe(st, ypx, ymx, t2d, z2, pad):
     return (ft.t_mul(e, f), ft.t_mul(h, g), ft.t_mul(g, f), ft.t_mul(e, h))
 
 
-def _basemult_kernel(cut_ref, zr_ref, planes_ref, *rest, mode, use_bp):
+def _basemult_kernel(cut_ref, zr_ref, planes_ref, *rest, mode, use_bp,
+                     ncuts=_CUTS):
     if use_bp:
         bp_ref, ox_ref, oy_ref = rest
     else:
@@ -148,7 +160,7 @@ def _basemult_kernel(cut_ref, zr_ref, planes_ref, *rest, mode, use_bp):
         ypx, ymx, t2d = _gather_pa(planes, cut_ref[0, i])
         return _add_pa(st, ypx, ymx, t2d, pad)
 
-    st = jax.lax.fori_loop(1, _CUTS, step, st)
+    st = jax.lax.fori_loop(1, ncuts, step, st)
 
     if use_bp:
         bp = bp_ref[0]
@@ -165,31 +177,38 @@ def _basemult_kernel(cut_ref, zr_ref, planes_ref, *rest, mode, use_bp):
         oy_ref[0] = u
 
 
-@functools.partial(jax.jit, static_argnames=("mode", "interpret"))
-def base_mult_tiled(cut_t, zr_t, bp_t=None, mode="affine", interpret=False):
-    """cut_t: [G, 32, 8, 128] fold digits; zr_t: [G, NLIMBS, 8, 128];
-    bp_t: optional [G, 4, NLIMBS, 8, 128] PE blinding point.
+@functools.partial(jax.jit, static_argnames=("mode", "interpret", "nfolds"))
+def base_mult_tiled(cut_t, zr_t, bp_t=None, mode="affine", interpret=False,
+                    nfolds=8):
+    """cut_t: [G, ncuts, 8, 128] fold digits (ncuts = 256 // nfolds);
+    zr_t: [G, NLIMBS, 8, 128]; bp_t: optional [G, 4, NLIMBS, 8, 128] PE
+    blinding point. nfolds selects the 8-fold (256-entry table, 32 steps) or
+    4-fold (16-entry table, 64 steps) variant — the reference's
+    memory/speed-tradeoff pair (source/curve25519_utils.c:125-153).
     Returns (x_t, y_t) limb tensors in the same tiling ("mont_u": both = u)."""
     g = cut_t.shape[0]
+    ncuts = 256 // nfolds
+    nent = 1 << nfolds
 
     def spec(k):
         return pl.BlockSpec((1, k, ft.TILE_S, ft.TILE_L),
                             lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
 
-    planes_spec = pl.BlockSpec((2 * _W, 256), lambda i: (0, 0),
+    planes_spec = pl.BlockSpec((2 * _W, nent), lambda i: (0, 0),
                                memory_space=pltpu.VMEM)
     bp_spec = pl.BlockSpec((1, 4, NLIMBS, ft.TILE_S, ft.TILE_L),
                            lambda i: (i, 0, 0, 0, 0), memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((g, NLIMBS, ft.TILE_S, ft.TILE_L),
                                      jnp.int32)
     use_bp = bp_t is not None
-    in_specs = [spec(_CUTS), spec(NLIMBS), planes_spec]
-    args = [cut_t, zr_t, folding8_planes_T()]
+    in_specs = [spec(ncuts), spec(NLIMBS), planes_spec]
+    args = [cut_t, zr_t, folding_planes_T(nfolds)]
     if use_bp:
         in_specs.append(bp_spec)
         args.append(bp_t)
     return pl.pallas_call(
-        functools.partial(_basemult_kernel, mode=mode, use_bp=use_bp),
+        functools.partial(_basemult_kernel, mode=mode, use_bp=use_bp,
+                          ncuts=ncuts),
         grid=(g,),
         in_specs=in_specs,
         out_specs=(spec(NLIMBS), spec(NLIMBS)),
@@ -198,16 +217,19 @@ def base_mult_tiled(cut_t, zr_t, bp_t=None, mode="affine", interpret=False):
     )(*args)
 
 
-def base_mult_pallas(bits, zr=None, bp=None, mode="affine", interpret=False):
+def base_mult_pallas(bits, zr=None, bp=None, mode="affine", interpret=False,
+                     nfolds=8):
     """Batched folding base-point multiply via the Pallas kernel.
 
     bits: [..., 256] scalar bits (any batch shape — leading axes are
     flattened and restored); zr: optional [..., NLIMBS] or [NLIMBS]
-    projective randomizer; bp: optional PE point dict to add (blinding).
-    Pads the flat batch to a multiple of TILE_BATCH internally (pad lanes
-    cut to the identity). Returns (x, y) affine limb tensors [..., NLIMBS],
-    or (u, u) for mode="mont_u". Semantics match edwards.base_point_mult
-    composed with to_affine / the birational map."""
+    projective randomizer; bp: optional PE point dict to add (blinding);
+    nfolds: 8 (default) or 4 (16-entry table, 63 steps — reference
+    ecp_4Folds, curve25519_utils.c:125-143). Pads the flat batch to a
+    multiple of TILE_BATCH internally (pad lanes cut to the identity).
+    Returns (x, y) affine limb tensors [..., NLIMBS], or (u, u) for
+    mode="mont_u". Semantics match edwards.base_point_mult /
+    base_point_mult_fold4 composed with to_affine / the birational map."""
     from curve25519_tpu.ops import fe
     from curve25519_tpu.ops.pallas import flatten_batch
 
@@ -222,9 +244,10 @@ def base_mult_pallas(bits, zr=None, bp=None, mode="affine", interpret=False):
     bpad = ((b + ft.TILE_BATCH - 1) // ft.TILE_BATCH) * ft.TILE_BATCH
     g = bpad // ft.TILE_BATCH
 
-    cut = fold.cut8(bits).astype(jnp.int32)                   # [B, 32]
+    cut_fn = fold.cut8 if nfolds == 8 else fold.cut4
+    cut = cut_fn(bits).astype(jnp.int32)                # [B, 256 // nfolds]
     cut = jnp.concatenate(
-        [cut, jnp.zeros((bpad - b, _CUTS), jnp.int32)], 0)
+        [cut, jnp.zeros((bpad - b, 256 // nfolds), jnp.int32)], 0)
 
     if zr is None:
         zr_l = fe.one((bpad,))
@@ -245,6 +268,6 @@ def base_mult_pallas(bits, zr=None, bp=None, mode="affine", interpret=False):
 
     x_t, y_t = base_mult_tiled(
         ft.tile_lanes(cut, g), ft.tile_lanes(zr_l, g), bp_t,
-        mode=mode, interpret=interpret)
+        mode=mode, interpret=interpret, nfolds=nfolds)
     return (unflatten(ft.untile_lanes(x_t)[:b]),
             unflatten(ft.untile_lanes(y_t)[:b]))

@@ -3,9 +3,10 @@
 This is the Pallas counterpart of curve25519_tpu.ops.fe, operating on values
 of shape ``[NLIMBS, S, L]`` where (S, L) = (8, 128) is a full VPU tile: every
 limb row is one native vector op for 1024 batch lanes. The radix, bounds, and
-carry scheme are identical to ops/fe.py (weak-all invariant, parallel carries,
-2^260 = 608 fold) — see that module's docstring for the bound analysis. The
-reference anchors are the same (source/curve25519_mehdi.c field core).
+carry scheme are identical to ops/fe.py (signed-weak invariant, parallel
+carries, 2^260 = 608 fold) — see that module's docstring for the bound
+analysis (mechanically verified by tests/test_bounds.py). The reference
+anchors are the same (source/curve25519_mehdi.c field core).
 
 These helpers take/return plain jnp values (registers/VMEM-resident inside a
 kernel); they contain no pallas_call themselves.
@@ -55,28 +56,31 @@ def zeros_like_row(x):
 
 
 def t_add(x, y):
-    """z = x + y mod p (weak-all in/out)."""
-    return _carry2(x + y)
+    """z = x + y mod p (signed-weak in/out; one wrap round suffices — see
+    ops/fe.py bound analysis, verified by tests/test_bounds.py)."""
+    return _carry1(x + y)
 
 
 def t_sub(x, y, pad):
     """z = x - y mod p; `pad` is the 32p borrow-raised pad broadcast to
-    [NLIMBS, 1, 1] (see fe._SUB_PAD)."""
-    return _carry2(x - y + pad)
+    [NLIMBS, 1, 1] (see fe._SUB_PAD). One wrap round."""
+    return _carry1(x - y + pad)
 
 
 def t_neg(y, pad):
-    """z = -y mod p."""
-    return _carry2(pad - y)
+    """z = -y mod p. One wrap round."""
+    return _carry1(pad - y)
+
+
+def _carry1(r):
+    lo = r & MASK
+    c = r >> BITS
+    wrap = jnp.concatenate([c[-1:] * FOLD, c[:-1]], axis=0)
+    return lo + wrap
 
 
 def _carry2(r):
-    for _ in range(2):
-        lo = r & MASK
-        c = r >> BITS
-        wrap = jnp.concatenate([c[-1:] * FOLD, c[:-1]], axis=0)
-        r = lo + wrap
-    return r
+    return _carry1(_carry1(r))
 
 
 def _reduce_cols(cols):
@@ -104,8 +108,13 @@ def t_mul(x, y):
 
 
 def t_sqr(x):
-    """z = x^2 mod p using the symmetric shortcut: ~210 tile-mults."""
+    """z = x^2 mod p using the symmetric shortcut with pre-doubled operand:
+    s = x + x, cross terms s_i * x_j (the doubling is free), ~210 tile-mults
+    and no per-term doubling adds. |s| <= 19000 keeps every column < 2^31
+    (ops/fe.py bound analysis). Columns equal t_mul(x, x)'s exactly, so the
+    jnp twin (fe.sqr) stays bit-identical."""
     n = NLIMBS
+    s = x + x
     cols = [None] * (2 * n - 1)
 
     def acc(k, v):
@@ -114,8 +123,7 @@ def t_sqr(x):
     for i in range(n):
         acc(2 * i, x[i] * x[i])
         for j in range(i + 1, n):
-            t = x[i] * x[j]
-            acc(i + j, t + t)
+            acc(i + j, s[i] * x[j])
     return _reduce_cols(jnp.stack(cols, axis=0))
 
 
@@ -183,10 +191,11 @@ def t_carry_seq(x):
 
 
 def t_canon(x):
-    """Unique canonical representative in [0, p) (cf. fe.canon)."""
+    """Unique canonical representative in [0, p) (cf. fe.canon). The 8p
+    pre-pad lifts signed-weak digits non-negative before the exact carries."""
     from curve25519_tpu.ops import fe
     p_limbs = t_const(fe._P_LIMBS)
-    d, c = t_carry_seq(x)
+    d, c = t_carry_seq(x + t_const(fe._CANON_PAD))
     d = jnp.concatenate([d[0:1] + FOLD * c[None], d[1:]], axis=0)
     d, _ = t_carry_seq(d)
     q = d[NLIMBS - 1] >> 8

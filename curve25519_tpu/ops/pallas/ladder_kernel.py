@@ -43,22 +43,30 @@ def _ladder_kernel(u_ref, k_ref, zr_ref, out_ref):
     x2 = ft.t_mul(aa, bb)
     e = ft.t_sub(aa, bb, pad)
     z2 = ft.t_mul(e, ft.t_mul_small_add(aa, A24, e))
-    # state: (x2,z2) = 2G', (x3,z3) = 1G' -> note roles: lo must track kG
-    # at k=1: lo = (x3,z3); keep (lo, hi) ordering explicit:
-    lo_x, lo_z, hi_x, hi_z = x3, z3, x2, z2
+
+    # Deferred conditional swap: keep the PHYSICAL step outputs
+    # (A = doubled side, B = sum side) plus the bit that produced them, and
+    # swap on entry only when the new bit differs (bit ^ prev) — 4 selects
+    # per step instead of 8, same branchless semantics as the reference's
+    # pointer-pair trick (curve25519_dh.c:86-89). After the virtual step for
+    # bit 254 (always 1 for clamped keys): A = 2G', B = 1G', logical
+    # lo = prev ? B : A. `prev` is read from k_ref (not a constant) so the
+    # loop carry has a concrete, non-replicated Mosaic layout.
+    prev = (k_ref[0, 254 // BITS] >> (254 % BITS)) & 1   # [S, L], == 1
 
     def step(t, st):
-        lo_x, lo_z, hi_x, hi_z = st
+        ax, az, bx, bz, prev = st
         i = 253 - t
         # dynamic limb load from the ref (values don't support dynamic_slice
         # in Mosaic; refs do)
         limb = k_ref[0, i // BITS]               # [S, L]
         bit = (limb >> (i % BITS)) & 1           # [S, L]
+        s = bit ^ prev
 
-        x2 = ft.t_select(bit, hi_x, lo_x)
-        x3 = ft.t_select(bit, lo_x, hi_x)
-        z2 = ft.t_select(bit, hi_z, lo_z)
-        z3 = ft.t_select(bit, lo_z, hi_z)
+        x2 = ft.t_select(s, bx, ax)
+        x3 = ft.t_select(s, ax, bx)
+        z2 = ft.t_select(s, bz, az)
+        z3 = ft.t_select(s, az, bz)
 
         a = ft.t_add(x2, z2)
         aa = ft.t_sqr(a)
@@ -73,15 +81,12 @@ def _ladder_kernel(u_ref, k_ref, zr_ref, out_ref):
         z3n = ft.t_mul(u, ft.t_sqr(ft.t_sub(da, cb, pad)))
         x2n = ft.t_mul(aa, bb)
         z2n = ft.t_mul(e, ft.t_mul_small_add(aa, A24, e))
+        return (x2n, z2n, x3n, z3n, bit)
 
-        lo_x = ft.t_select(bit, x3n, x2n)
-        hi_x = ft.t_select(bit, x2n, x3n)
-        lo_z = ft.t_select(bit, z3n, z2n)
-        hi_z = ft.t_select(bit, z2n, z3n)
-        return (lo_x, lo_z, hi_x, hi_z)
-
-    lo_x, lo_z, _, _ = jax.lax.fori_loop(
-        0, 254, step, (lo_x, lo_z, hi_x, hi_z))
+    ax, az, bx, bz, prev = jax.lax.fori_loop(
+        0, 254, step, (x2, z2, x3, z3, prev))
+    lo_x = ft.t_select(prev, bx, ax)
+    lo_z = ft.t_select(prev, bz, az)
 
     out_ref[0] = ft.t_mul(lo_x, ft.t_inv(lo_z))
 

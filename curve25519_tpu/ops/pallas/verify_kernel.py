@@ -35,12 +35,29 @@ __all__ = ["poly_mult_tiled", "poly_mult_pallas",
 _QROWS = 4 * NLIMBS          # ypx, ymx, t2d, z2 limbs per q_table entry
 
 
-def _gather_qt(qt, idx):
+def _unpack_qt(qt8):
+    """In-kernel int8-plane -> int32 limb unpack of the per-lane q_table.
+
+    qt8: [16*2*_QROWS, S, L] int8, entry-major, each entry 80 lo-plane rows
+    then 80 hi-plane rows (the models/tables.pe_planes_from_array layout).
+    Shipping int8 and unpacking here halves the table's HBM/VMEM footprint
+    per verify lane (2.5 KB instead of 5 KB — the reference's q_table is
+    likewise its compact in-memory form, ed25519_verify.c:44-47)."""
+    per = 2 * _QROWS
+    out = []
+    for e in range(16):
+        lo = qt8[e * per:e * per + _QROWS].astype(jnp.int32)
+        hi = qt8[e * per + _QROWS:(e + 1) * per].astype(jnp.int32)
+        out.append(lo + (hi << 7))
+    return out
+
+
+def _gather_qt(entries, idx):
     """Per-lane 16-entry table fetch via a binary select tree.
 
-    qt: [16*_QROWS, S, L] int32 (entry-major); idx: [S, L] int32 in [0, 16).
-    Returns (ypx, ymx, t2d, z2) limb tiles."""
-    lvl = [qt[e * _QROWS:(e + 1) * _QROWS] for e in range(16)]
+    entries: list of 16 [_QROWS, S, L] int32 tiles; idx: [S, L] int32 in
+    [0, 16). Returns (ypx, ymx, t2d, z2) limb tiles."""
+    lvl = list(entries)
     for bit in range(4):
         mask = ((idx >> bit) & 1) != 0
         lvl = [jnp.where(mask[None], lvl[2 * i + 1], lvl[2 * i])
@@ -53,7 +70,7 @@ def _gather_qt(qt, idx):
 def _poly_kernel(u_ref, v_ref, qt_ref, planes_ref, ox_ref, oy_ref):
     pad = ft.t_pad()
     planes = planes_ref[...]
-    qt = qt_ref[0]
+    qt = _unpack_qt(qt_ref[0])
 
     # init from q_table[v[0]]: (x, y, z, t) = (YpX-YmX, YpX+YmX, Z2, T2d/2d)
     ypx, ymx, t2d, z2 = _gather_qt(qt, v_ref[0, 0])
@@ -88,7 +105,8 @@ def _poly_kernel(u_ref, v_ref, qt_ref, planes_ref, ox_ref, oy_ref):
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def poly_mult_tiled(u_t, v_t, qt_t, interpret=False):
     """u_t: [G, 32, 8, 128] 8-fold digits of s; v_t: [G, 64, 8, 128] 4-fold
-    digits of h; qt_t: [G, 16*4*NLIMBS, 8, 128] per-lane q_table limbs.
+    digits of h; qt_t: [G, 16*8*NLIMBS, 8, 128] int8 per-lane q_table planes
+    (entry-major, lo rows then hi rows per entry — unpacked in-kernel).
     Returns affine (x_t, y_t) limb tensors [G, NLIMBS, 8, 128]."""
     g = u_t.shape[0]
 
@@ -103,7 +121,7 @@ def poly_mult_tiled(u_t, v_t, qt_t, interpret=False):
     return pl.pallas_call(
         _poly_kernel,
         grid=(g,),
-        in_specs=[spec(32), spec(64), spec(16 * _QROWS), planes_spec],
+        in_specs=[spec(32), spec(64), spec(16 * 2 * _QROWS), planes_spec],
         out_specs=(spec(NLIMBS), spec(NLIMBS)),
         out_shape=(out_shape, out_shape),
         interpret=interpret,
@@ -249,17 +267,16 @@ def poly_mult_pallas(s_bits, h_bits, planes, interpret=False):
 
     u = fold.cut8(s_bits).astype(jnp.int32)                # [B, 32]
     v = fold.cut4(h_bits).astype(jnp.int32)                # [B, 64]
-    # un-split the int8 planes back to int32 limbs (weak-all, < 2^14)
-    w = 4 * NLIMBS
-    pl8 = planes.astype(jnp.int32)
-    qt = (pl8[..., :w] + (pl8[..., w:] << 7)).reshape(b, 16 * w)
+    # ship the planes as int8 end-to-end (entry-major [B, 16*160]); the
+    # kernel unpacks them in VMEM, halving the q_table HBM traffic
+    qt8 = planes.reshape(b, 16 * 8 * NLIMBS)
 
     def padd(x):
         return jnp.concatenate(
-            [x, jnp.zeros((bpad - b, x.shape[-1]), jnp.int32)], 0)
+            [x, jnp.zeros((bpad - b, x.shape[-1]), x.dtype)], 0)
 
     x_t, y_t = poly_mult_tiled(
         ft.tile_lanes(padd(u), g), ft.tile_lanes(padd(v), g),
-        ft.tile_lanes(padd(qt), g), interpret=interpret)
+        ft.tile_lanes(padd(qt8), g), interpret=interpret)
     return (unflatten(ft.untile_lanes(x_t)[:b]),
             unflatten(ft.untile_lanes(y_t)[:b]))

@@ -53,7 +53,8 @@ def sharded(fn, mesh, axis_name="dp"):
     shard independently routes to the Pallas kernels when its *local* batch
     is >= 1024 lanes."""
     inner = jax.shard_map(
-        fn, mesh=mesh, in_specs=P(axis_name), out_specs=P(axis_name))
+        fn, mesh=mesh, in_specs=P(axis_name), out_specs=P(axis_name),
+        check_vma=False)  # pallas_call out_shapes carry no vma annotation
     return jax.jit(inner)
 
 
@@ -98,7 +99,8 @@ def mixed_throughput_step(mesh, axis_name="dp"):
     sharded = jax.shard_map(
         per_shard, mesh=mesh,
         in_specs=(P(axis_name), P(axis_name), P(axis_name)),
-        out_specs=(P(), P(), P(axis_name)))
+        out_specs=(P(), P(), P(axis_name)),
+        check_vma=False)  # pallas_call out_shapes carry no vma annotation
     return jax.jit(sharded)
 
 

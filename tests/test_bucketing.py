@@ -1,0 +1,72 @@
+"""Length-bucketing tests: ragged batches grouped by SHA-512 block count
+(one compile per bucket), results bit-identical to per-message calls and to
+hashlib (reference analogue: streaming SHA-512, source/sha512.c:118-157)."""
+
+import hashlib
+
+import numpy as np
+import jax.numpy as jnp
+
+from curve25519_tpu.models import ed25519
+from curve25519_tpu.ops.sha512 import sha512
+from curve25519_tpu.utils import bucketing
+
+rng = np.random.default_rng(77)
+
+# lengths spanning exactly two block counts: (len+17+127)//128
+LENS = [0, 3, 111, 112, 200]          # buckets: {1: [0,1,2], 2: [3,4]}
+MSGS = [rng.bytes(n) for n in LENS]
+
+
+def test_bucket_indices_and_lengths():
+    bk = bucketing.bucket_indices(LENS)
+    assert sorted(bk.keys()) == [1, 2]
+    assert bk[1].tolist() == [0, 1, 2]
+    assert bk[2].tolist() == [3, 4]
+    assert bucketing.bucket_length(1) == 111
+    assert bucketing.bucket_length(2) == 239
+    assert bucketing.nblocks(111) == 1 and bucketing.nblocks(112) == 2
+
+
+def test_ragged_sha512_matches_hashlib_two_compiles():
+    calls = []
+
+    def fn(m, l):
+        calls.append(m.shape[-1])
+        return sha512(jnp.asarray(m), jnp.asarray(l))
+
+    out = np.asarray(bucketing.apply_bucketed(fn, MSGS))
+    assert sorted(calls) == [111, 239]        # exactly one call per bucket
+    for i, m in enumerate(MSGS):
+        assert bytes(out[i].tolist()) == hashlib.sha512(m).digest()
+
+
+def test_sign_ragged_matches_per_message():
+    seeds = jnp.asarray(rng.integers(0, 256, (len(MSGS), 32), np.uint8))
+    pk, priv = ed25519.create_keypair(seeds)
+    sigs = np.asarray(ed25519.sign_ragged(priv, MSGS))
+    # oracle: one exact-length unbucketed sign per message
+    for i, m in enumerate(MSGS):
+        arr = jnp.asarray(np.frombuffer(m, np.uint8))[None, :] if m else \
+            jnp.zeros((1, 0), jnp.uint8)
+        want = np.asarray(ed25519.sign(priv[i:i + 1], arr))[0]
+        assert bytes(sigs[i].tolist()) == bytes(want.tolist())
+    ok = np.asarray(ed25519.verify_ragged(sigs, pk, MSGS))
+    assert ok.all()
+    # tampered message must fail in its own bucket
+    bad = list(MSGS)
+    bad[3] = bad[3][:-1] + bytes([bad[3][-1] ^ 1])
+    okb = np.asarray(ed25519.verify_ragged(sigs, pk, bad))
+    assert okb.tolist() == [True, True, True, False, True]
+
+
+def test_row_args_scatter_order():
+    # per-row args must follow their messages through the buckets
+    tags = np.arange(len(MSGS), dtype=np.int32)
+
+    def fn(m, l, t):
+        return t * 10 + jnp.asarray(l) // 128
+
+    out = np.asarray(bucketing.apply_bucketed(fn, MSGS, tags))
+    want = [t * 10 + n // 128 for t, n in zip(tags, LENS)]
+    assert out.tolist() == [int(w) for w in want]

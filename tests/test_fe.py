@@ -32,12 +32,12 @@ def unpack_canon(x):
 
 def assert_weak(x):
     x = np.asarray(x)
-    assert (x >= -1).all() and (x <= fe.WEAK_MAX).all()
+    assert (x >= fe.WEAK_MIN).all() and (x <= fe.WEAK_MAX).all()
 
 
 def test_bound_stress():
     # adversarial chain: alternating sub/mul/add at extreme values must keep
-    # limbs in [-1, WEAK_MAX] and track python-int semantics exactly
+    # limbs signed-weak and track python-int semantics exactly
     vals = [0, 1, P - 1, P - 2, 2**255 - 1 - P, P // 2] + rand_ints(10)
     ref = list(vals)
     x = pack(vals)

@@ -33,6 +33,67 @@ def test_tile_untile_roundtrip():
                           np.asarray(x))
 
 
+def test_fe_tile_seam_smoke():
+    """FAST-tier kernel/jnp seam check (CLAUDE.md invariant #3): one small
+    interpret-mode kernel chains every fe_tile primitive on a single tile
+    and must be bit-exact vs the portable fe twin. The full whole-protocol
+    kernels stay in the slow tier; this compiles in seconds."""
+    import functools
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from curve25519_tpu.ops.pallas import fe_tile as ft
+
+    def kernel(x_ref, y_ref, o_ref):
+        pad = ft.t_pad()
+        x, y = x_ref[0], y_ref[0]
+        a = ft.t_add(x, y)
+        s = ft.t_sub(x, y, pad)
+        m = ft.t_mul(a, s)
+        q = ft.t_sqr(m)
+        w = ft.t_mul_small_add(q, 121665, m)
+        n = ft.t_neg(w, pad)
+        o_ref[0] = ft.t_canon(n)
+
+    spec = pl.BlockSpec((1, 20, 8, 128), lambda i: (i, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+    x = jnp.asarray(rng.integers(0, 8192, (1024, 20), np.int32))
+    y = jnp.asarray(rng.integers(0, 8192, (1024, 20), np.int32))
+    out_t = pl.pallas_call(
+        kernel, grid=(1,), in_specs=[spec, spec], out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((1, 20, 8, 128), jnp.int32),
+        interpret=True,
+    )(lk._tile(x, 1), lk._tile(y, 1))
+    got = np.asarray(lk._untile(out_t))
+
+    a = fe.add(x, y)
+    s = fe.sub(x, y)
+    m = fe.mul(a, s)
+    q = fe.sqr(m)
+    w = fe.mul_small_add(q, 121665, m)
+    want = np.asarray(fe.canon(fe.neg(w)))
+    assert np.array_equal(got, want)
+
+
+@pytest.mark.slow
+def test_pallas_basemult_fold4_interpret_matches_scan():
+    """4-fold kernel variant (16-entry table, 63 steps) vs the jnp fold-4
+    scan path (reference ecp_4Folds, curve25519_utils.c:125-143)."""
+    from curve25519_tpu.models import edwards
+    B = 48
+    sk = codec.clamp(jnp.asarray(
+        rng.integers(0, 256, (B, 32), dtype=np.uint8)))
+    bits = codec.scalar_bits(sk)
+    s = edwards.base_point_mult_fold4(bits)
+    x_ref, y_ref = edwards.to_affine(s)
+    x_p, y_p = ek.base_mult_pallas(bits, mode="affine", interpret=True,
+                                   nfolds=4)
+    assert np.array_equal(np.asarray(fe.to_bytes(x_p)),
+                          np.asarray(fe.to_bytes(x_ref)))
+    assert np.array_equal(np.asarray(fe.to_bytes(y_p)),
+                          np.asarray(fe.to_bytes(y_ref)))
+
+
 @pytest.mark.slow
 def test_pallas_basemult_interpret_matches_scan():
     """Edwards folding kernel (affine + mont_u modes, with padding) vs the

@@ -3,6 +3,7 @@
 dual-point-multiply identities, and table regeneration from first principles."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from curve25519_tpu import refmodel
@@ -135,6 +136,7 @@ def test_sc_reduce_extremes():
     assert got == ((1 << 512) - 1) % ELL
 
 
+@pytest.mark.slow
 def test_tablefree_verify_crosschecks_folded():
     """The table-free double-and-add verify (reference
     alt_ed25519_VerifySignature, selftest :881-912) must agree with the

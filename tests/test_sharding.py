@@ -29,6 +29,7 @@ def test_sharded_matches_single_device(cpu_mesh):
     assert np.array_equal(np.asarray(pk_single), np.asarray(pk_sharded))
 
 
+@pytest.mark.slow
 def test_mixed_pipeline_psum_counters(cpu_mesh):
     B, L = 16, 8
     sk_a = pmesh.shard_batch(
