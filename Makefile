@@ -26,12 +26,12 @@ custom:
 	$(PY) -m curve25519_tpu.tools.custom_tool b
 
 # -n 2: pytest-xdist over both host cores (the suite is XLA-compile-bound);
-# `time` prints the wall-clock so the fast tier's budget stays visible.
+# pytest's trailing "in N s" line is the fast tier's wall-clock budget check.
 test:
-	time $(PY) -m pytest tests/ -q -m "not slow" -n 2
+	$(PY) -m pytest tests/ -q -m "not slow" -n 2
 
 test-all:
-	time $(PY) -m pytest tests/ -q -n 2
+	$(PY) -m pytest tests/ -q -n 2
 
 bench:
 	$(PY) bench.py

@@ -23,22 +23,27 @@ def main():
     from curve25519_tpu.models import x25519
 
     rng = np.random.default_rng(0)
-    B = 65536
+    B = 262144   # ~124 ms/call: amortizes the ~3 ms tunnel dispatch floor
     sk = jnp.asarray(rng.integers(0, 256, (B, 32), dtype=np.uint8))
     peer = jnp.asarray(rng.integers(0, 256, (B, 32), dtype=np.uint8))
 
-    fn = jax.jit(x25519.create_shared_key)   # auto-routes to the Pallas kernel
+    # Scalar-reduced output: the timed quantity is device compute, not the
+    # 8 MB result fetch through the tunnel.
+    fn = jax.jit(lambda p, s: x25519.create_shared_key(p, s)
+                 .astype(jnp.int32).sum())
     np.asarray(fn(peer, sk))         # compile + warm + hard sync
-    # The axon tunnel's block_until_ready doesn't actually block, so timing
-    # uses a serial dependency chain (each call consumes the previous result)
-    # closed by a host fetch, which cannot complete early.
-    N = 8
+    # The axon tunnel's block_until_ready doesn't actually block, so each
+    # round issues N dispatches and closes with a host fetch of the LAST
+    # result: execution on the single device stream is FIFO, so the fetch
+    # bounds all N calls. (A serial output->input chain would also work but
+    # adds ~15 ms of tunnel round-trip latency per link — measured — which
+    # is tunnel overhead, not device throughput.)
+    N = 4
     best = float("inf")
     for _ in range(3):
-        r = peer
         t0 = time.perf_counter()
         for _ in range(N):
-            r = fn(r, sk)
+            r = fn(peer, sk)
         np.asarray(r)
         best = min(best, (time.perf_counter() - t0) / N)
 
