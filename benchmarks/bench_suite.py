@@ -33,6 +33,7 @@ BASELINES = {
     "sha512_64b": 150_000.0,              # ~order-of a fast scalar impl
     "mixed_dh_sign_verify": 20_000.0,     # blended single-core estimate
     "x25519_single_call_latency": 12_549.0,  # 1/latency vs one ref call
+    "x25519_public_key_fold4": 70_000.0,     # same anchor as the 8-fold row
 }
 
 
@@ -101,6 +102,11 @@ def main():
     # config 3: 8-fold base-point multiply (folding kernel)
     f = jax.jit(x25519.calculate_public_key_fast)
     emit("x25519_public_key_fast", B / bench_chain(f, (sk,), reps),
+         {"batch": B})
+    # 4-fold variant: 16-entry table, 62 doubles + 63 adds (the reference's
+    # memory/speed tradeoff pair, curve25519_utils.c:125-153)
+    f4 = jax.jit(lambda s: x25519.calculate_public_key_fast(s, nfolds=4))
+    emit("x25519_public_key_fold4", B / bench_chain(f4, (sk,), reps),
          {"batch": B})
 
     # config 2: Ed25519 keygen + sign (+ SHA-512 kernel)

@@ -35,18 +35,26 @@ def calculate_public_key(sk, zr=None):
     return montgomery.point_multiply(_base_u(sk.shape[:-1]), sk, zr=zr)
 
 
-def calculate_public_key_fast(sk, zr=None):
+def calculate_public_key_fast(sk, zr=None, nfolds=8):
     """pk via the folding-accelerated Edwards base-point multiply and the
     birational map u = (Z+Y)/(Z-Y).
-    Reference curve25519_dh_CalculatePublicKey_fast (curve25519_dh.c:162-189)."""
+    Reference curve25519_dh_CalculatePublicKey_fast (curve25519_dh.c:162-189).
+
+    nfolds=8 (default) uses the 256-entry folding table (31 doubles + 32
+    adds); nfolds=4 the 16-entry one (62 doubles + 63 adds) — the
+    reference's smaller-table build option (ecp_4Folds,
+    curve25519_utils.c:125-143)."""
     from curve25519_tpu.models import edwards
     sk = codec.clamp(jnp.asarray(sk, dtype=jnp.uint8))
     bits = codec.scalar_bits(sk)
     if _use_pallas(sk.shape[:-1]):
         from curve25519_tpu.ops.pallas import edwards_kernel
-        u, _ = edwards_kernel.base_mult_pallas(bits, zr=zr, mode="mont_u")
+        u, _ = edwards_kernel.base_mult_pallas(bits, zr=zr, mode="mont_u",
+                                               nfolds=nfolds)
         return fe.to_bytes(u)
-    S = edwards.base_point_mult(bits, zr=zr)
+    mult = (edwards.base_point_mult if nfolds == 8
+            else edwards.base_point_mult_fold4)
+    S = mult(bits, zr=zr)
     num = fe.add(S["z"], S["y"])
     den = fe.sub(S["z"], S["y"])
     u = fe.mul(num, fe.inv(den))

@@ -44,6 +44,37 @@ def test_device_init_under_jit():
     _assert_ctx_equal(dev, blinding.blinding_init(SEED))
 
 
+def test_fresh_zr_per_lane_and_invariant():
+    """fresh_zr gives distinct per-lane randomizers (unlike default_zr's
+    shared constant) and must not change any protocol output."""
+    from curve25519_tpu.models import x25519
+    rng = np.random.default_rng(11)
+    B = 8
+    key = jax.random.key(42)
+    zr = blinding.fresh_zr(key, (B,))
+    z = np.asarray(zr)
+    assert len({tuple(r) for r in z}) == B          # all lanes distinct
+    assert z.shape == (B, 20) and (z != 0).any(axis=-1).all()
+    zr2 = blinding.fresh_zr(jax.random.key(43), (B,))
+    assert not np.array_equal(np.asarray(zr2), z)   # fresh per key
+
+    sk = jnp.asarray(rng.integers(0, 256, (B, 32), np.uint8))
+    base = np.asarray(x25519.calculate_public_key_fast(sk))
+    with_zr = np.asarray(x25519.calculate_public_key_fast(sk, zr=zr))
+    assert np.array_equal(base, with_zr)
+    lad = np.asarray(x25519.calculate_public_key(sk, zr=zr))
+    assert np.array_equal(base, lad)
+
+
+def test_fold4_public_api_matches_fold8():
+    from curve25519_tpu.models import x25519
+    rng = np.random.default_rng(12)
+    sk = jnp.asarray(rng.integers(0, 256, (6, 32), np.uint8))
+    a = np.asarray(x25519.calculate_public_key_fast(sk))
+    b = np.asarray(x25519.calculate_public_key_fast(sk, nfolds=4))
+    assert np.array_equal(a, b)
+
+
 def test_device_blinding_does_not_change_signatures():
     rng = np.random.default_rng(5)
     B = 4
