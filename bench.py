@@ -27,6 +27,21 @@ def main():
     sk = jnp.asarray(rng.integers(0, 256, (B, 32), dtype=np.uint8))
     peer = jnp.asarray(rng.integers(0, 256, (B, 32), dtype=np.uint8))
 
+    # Correctness gate before timing (the reference refuses to bench until
+    # donna matches, test/curve25519_test.c:143-154): one kernel tile of
+    # device output vs the host oracle.
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "benchmarks"))
+    from correctness_gate import Oracle, check_rows
+    orc = Oracle()
+    raw = jax.jit(x25519.create_shared_key)
+    got = np.asarray(raw(peer[:1024], sk[:1024]))[:4]
+    check_rows("x25519_shared_secret", got,
+               [orc.x25519(bytes(np.asarray(sk[i])),
+                           bytes(np.asarray(peer[i]))) for i in range(4)])
+    verified = True
+
     # Scalar-reduced output: the timed quantity is device compute, not the
     # 8 MB result fetch through the tunnel.
     fn = jax.jit(lambda p, s: x25519.create_shared_key(p, s)
@@ -53,6 +68,8 @@ def main():
         "value": round(ops_per_s, 1),
         "unit": "ops/s",
         "vs_baseline": round(ops_per_s / BASELINE_OPS_PER_S, 3),
+        "verified": verified,
+        "oracle": orc.label,
     }))
 
 

@@ -1,9 +1,9 @@
 """Full benchmark suite — one JSON line per BASELINE.json config.
 
 Mirrors the reference speed_test discipline (test/curve25519_test.c:130-321):
-compile/warm first, then best-of-rounds over a serially-dependent dispatch
-chain closed by a host fetch (the axon tunnel's block_until_ready returns
-early, so timing must force a data dependency or a device->host copy).
+compile/warm first, then best-of-rounds over N independent dispatches closed
+by a host fetch of the LAST result (the axon tunnel's block_until_ready
+returns early; single-device FIFO execution means the fetch bounds all N).
 
 Usage:  python benchmarks/bench_suite.py [--batch 65536] [--quick]
 
@@ -15,7 +15,6 @@ import argparse
 import json
 import os
 import sys
-import time
 
 import numpy as np
 
@@ -34,23 +33,16 @@ BASELINES = {
     "mixed_dh_sign_verify": 20_000.0,     # blended single-core estimate
     "x25519_single_call_latency": 12_549.0,  # 1/latency vs one ref call
     "x25519_public_key_fold4": 70_000.0,     # same anchor as the 8-fold row
+    "x25519_public_key_ladder": 10_758.0,    # 316,096 cycles @3.4GHz
 }
 
 
 def bench_chain(fn, args, reps=6, rounds=3):
-    """Best-of-rounds seconds/call; each round issues `reps` dependent-free
-    dispatches and closes with a host fetch."""
-    import jax
-    r = fn(*args)
-    np.asarray(jax.tree_util.tree_leaves(r)[0])          # compile + sync
-    best = float("inf")
-    for _ in range(rounds):
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            r = fn(*args)
-        np.asarray(jax.tree_util.tree_leaves(r)[0])
-        best = min(best, (time.perf_counter() - t0) / reps)
-    return best
+    """Best-of-rounds seconds/call — thin shim over the repo's single
+    timing helper (utils/profiling.bench: `reps` independent dispatches per
+    round closed by a host fetch of the last result)."""
+    from curve25519_tpu.utils.profiling import bench
+    return bench(fn, *args, reps=reps, rounds=rounds)
 
 
 def emit(metric, ops_per_s, extra=None):
@@ -82,59 +74,118 @@ def main():
     msg = jnp.asarray(rng.integers(0, 256, (B, 64), dtype=np.uint8))
     mlen = jnp.full((B,), 64, jnp.int32)
 
+    # correctness gate: every op's device output is checked against the
+    # host oracle on a slice of lanes BEFORE being timed (the reference
+    # won't benchmark until donna matches, test/curve25519_test.c:143-154)
+    from correctness_gate import Oracle, check_rows
+    orc = Oracle()
+    NV = 4
+    skb = [bytes(np.asarray(sk[i])) for i in range(NV)]
+    peerb = [bytes(np.asarray(peer[i])) for i in range(NV)]
+    seedb = [bytes(np.asarray(seed[i])) for i in range(NV)]
+    msgb = [bytes(np.asarray(msg[i])) for i in range(NV)]
+    ver = {"verified": True, "oracle": orc.label}
+
     # config 1: X25519 DH shared secret (ladder kernel)
     f = jax.jit(x25519.create_shared_key)
+    check_rows("x25519_shared_secret", np.asarray(f(peer, sk))[:NV],
+               [orc.x25519(skb[i], peerb[i]) for i in range(NV)])
     emit("x25519_shared_secret", B / bench_chain(f, (peer, sk), reps),
-         {"batch": B})
+         {"batch": B, **ver})
 
-    # single-call / small-batch latency: 1, 64 and 1024 lanes all run the
-    # same one-tile padded kernel (the reference's single-op regime,
-    # README.md:86 — there 43K cycles; here one kernel launch + tunnel
-    # dispatch). value = 1/latency of the single call.
-    t1 = bench_chain(f, (peer[:1], sk[:1]), reps)
-    t64 = bench_chain(f, (peer[:64], sk[:64]), reps)
+    # single-call latency: the reference's single-op regime
+    # (CreateSharedKey ~80 us on one core, README.md:123-125). Single-key
+    # calls route through the native C++ host core (oo.py) — a device
+    # round trip costs the ~3 ms tunnel floor regardless of batch, so the
+    # host path owns this regime. value = 1/latency of one host-path call.
+    import time as _time
+    from curve25519_tpu import oo
+    priv1 = oo.X25519Private(bytes(np.asarray(sk[0])))
+    peer1 = bytes(np.asarray(peer[0]))
+    priv1.create_shared_key(peer1, kdf=False)        # warm (lib load)
+    n1 = 2000
+    t0 = _time.perf_counter()
+    for _ in range(n1):
+        priv1.create_shared_key(peer1, kdf=False)
+    t1 = (_time.perf_counter() - t0) / n1
+    # device-path small-batch latencies, for the routing-cliff record
+    td1 = bench_chain(f, (peer[:1], sk[:1]), reps)
     t1k = bench_chain(f, (peer[:1024], sk[:1024]), reps)
     emit("x25519_single_call_latency", 1.0 / t1,
-         {"batch": 1, "latency_ms": round(t1 * 1e3, 3),
-          "batch64_ms": round(t64 * 1e3, 3),
-          "batch1024_ms": round(t1k * 1e3, 3)})
+         {"batch": 1, "path": "native-host", "latency_us": round(t1 * 1e6, 2),
+          "device_batch1_ms": round(td1 * 1e3, 3),
+          "device_batch1024_ms": round(t1k * 1e3, 3)})
 
     # config 3: 8-fold base-point multiply (folding kernel)
+    base_want = [orc.x25519_base(skb[i]) for i in range(NV)]
     f = jax.jit(x25519.calculate_public_key_fast)
+    check_rows("x25519_public_key_fast", np.asarray(f(sk))[:NV], base_want)
     emit("x25519_public_key_fast", B / bench_chain(f, (sk,), reps),
-         {"batch": B})
+         {"batch": B, **ver})
+    # the plain-ladder CalculatePublicKey route (reference
+    # curve25519_dh.c:192-198), now also on the Pallas ladder kernel
+    fl = jax.jit(x25519.calculate_public_key)
+    check_rows("x25519_public_key_ladder", np.asarray(fl(sk))[:NV], base_want)
+    emit("x25519_public_key_ladder", B / bench_chain(fl, (sk,), reps),
+         {"batch": B, **ver})
     # 4-fold variant: 16-entry table, 62 doubles + 63 adds (the reference's
     # memory/speed tradeoff pair, curve25519_utils.c:125-153)
     f4 = jax.jit(lambda s: x25519.calculate_public_key_fast(s, nfolds=4))
+    check_rows("x25519_public_key_fold4", np.asarray(f4(sk))[:NV], base_want)
     emit("x25519_public_key_fold4", B / bench_chain(f4, (sk,), reps),
-         {"batch": B})
+         {"batch": B, **ver})
 
     # config 2: Ed25519 keygen + sign (+ SHA-512 kernel)
+    kp_want = [orc.ed_keypair(seedb[i]) for i in range(NV)]
     f = jax.jit(ed25519.create_keypair)
-    emit("ed25519_keygen", B / bench_chain(f, (seed,), reps), {"batch": B})
+    pk_d, priv_d = f(seed)
+    check_rows("ed25519_keygen[pk]", np.asarray(pk_d)[:NV],
+               [w[0] for w in kp_want])
+    check_rows("ed25519_keygen[priv]", np.asarray(priv_d)[:NV],
+               [w[1] for w in kp_want])
+    emit("ed25519_keygen", B / bench_chain(f, (seed,), reps),
+         {"batch": B, **ver})
     pk, priv = ed25519.create_keypair(seed)
+    sig_want = [orc.ed_sign(kp_want[i][1], msgb[i]) for i in range(NV)]
     f = jax.jit(ed25519.sign)
+    check_rows("ed25519_sign", np.asarray(f(priv, msg, mlen))[:NV], sig_want)
     emit("ed25519_sign", B / bench_chain(f, (priv, msg, mlen), reps),
-         {"batch": B})
+         {"batch": B, **ver})
     bctx = blinding.as_batch(blinding.blinding_init(b"bench-blinder"), (B,))
     fb = jax.jit(lambda p, m, l: ed25519.sign(p, m, l, blinding=bctx))
+    # blinding must not change the signature (test/curve25519_test.c:323-410)
+    check_rows("ed25519_sign_blinded", np.asarray(fb(priv, msg, mlen))[:NV],
+               sig_want)
     emit("ed25519_sign_blinded",
-         B / bench_chain(fb, (priv, msg, mlen), reps), {"batch": B})
+         B / bench_chain(fb, (priv, msg, mlen), reps), {"batch": B, **ver})
     f = jax.jit(sha512)
-    emit("sha512_64b", B / bench_chain(f, (msg, mlen), reps), {"batch": B})
+    check_rows("sha512_64b", np.asarray(f(msg, mlen))[:NV],
+               [orc.sha512(msgb[i]) for i in range(NV)])
+    emit("sha512_64b", B / bench_chain(f, (msg, mlen), reps),
+         {"batch": B, **ver})
 
     # config 4: Ed25519 batch verify, two-phase and one-shot
     sig = ed25519.sign(priv, msg, mlen)
     f = jax.jit(ed25519.verify_init)
     emit("ed25519_verify_init", B / bench_chain(f, (pk,), reps),
-         {"batch": B})
+         {"batch": B, **ver})   # verified transitively via verify_check below
     ctx = ed25519.verify_init(pk)
     f = jax.jit(lambda s, m, l: ed25519.verify_check(ctx, s, m, l))
+    # gate: all valid lanes accept, a tampered lane rejects
+    ok = np.asarray(f(sig, msg, mlen))
+    bad_sig = sig.at[0, 0].set(sig[0, 0] ^ 1)
+    ok_bad = np.asarray(f(bad_sig, msg, mlen))
+    if not (ok.all() and not ok_bad[0] and ok_bad[1:].all()):
+        raise AssertionError("verify_check gate failed: "
+                             f"valid={ok.all()} tampered={ok_bad[0]}")
     emit("ed25519_verify_check", B / bench_chain(f, (sig, msg, mlen), reps),
-         {"batch": B})
+         {"batch": B, **ver})
     f = jax.jit(ed25519.verify)
+    ok = np.asarray(f(sig, pk, msg, mlen))
+    if not ok.all():
+        raise AssertionError("verify oneshot gate failed")
     emit("ed25519_verify_oneshot",
-         B / bench_chain(f, (sig, pk, msg, mlen), reps), {"batch": B})
+         B / bench_chain(f, (sig, pk, msg, mlen), reps), {"batch": B, **ver})
 
     # config 5 (single-chip leg): mixed DH + sign + verify pipeline; the
     # multi-host form shards this over a Mesh (parallel/mesh.py,
@@ -151,9 +202,15 @@ def main():
 
     Bm = max(B // 8, 1024)
     f = jax.jit(mixed)
+    sh_d, nok = f(sk[:Bm], peer[:Bm], msg[:Bm])
+    if int(nok) != Bm:
+        raise AssertionError(f"mixed gate failed: {int(nok)}/{Bm} verified")
+    check_rows("mixed_dh_sign_verify[shared]", np.asarray(sh_d)[:NV],
+               [orc.x25519(skb[i], orc.x25519_base(peerb[i]))
+                for i in range(NV)])
     secs = bench_chain(f, (sk[:Bm], peer[:Bm], msg[:Bm]), max(2, reps // 2))
     emit("mixed_dh_sign_verify", 6 * Bm / secs,
-         {"batch": Bm, "note": "6 protocol ops per lane"})
+         {"batch": Bm, "note": "6 protocol ops per lane", **ver})
 
 
 if __name__ == "__main__":

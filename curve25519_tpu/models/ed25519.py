@@ -18,6 +18,15 @@ include/ed25519_signature.h). Differences by design:
 Note on verification semantics: like the reference (which never range-checks
 S, ed25519_verify.c:287-313), `strict=False` accepts signatures with
 S >= l (malleable encodings). Pass strict=True for RFC 8032 semantics.
+
+Decode semantics (frozen by tests/test_edge_encodings.py, matching the
+reference's ecp_DecodeInt, source/curve25519_utils.c:100-123):
+- A compressed y >= p decodes as y - p; canonicity is never enforced.
+- x = 0 with sign bit 1 is accepted (negation of zero is zero).
+- Small-order and identity public keys are accepted (no cofactor checks,
+  same as the reference — callers needing SUF-CMA must pre-screen keys).
+- R' vs R comparison is memcmp on ENCODINGS (ed25519_verify.c:310-312):
+  a signature whose R bytes are non-canonical never verifies.
 """
 
 import jax
@@ -379,13 +388,14 @@ def verify_tablefree(sig, pk, msg, msg_len=None, strict=False):
 # source/sha512.c:118-157; see utils/bucketing.py).
 # ---------------------------------------------------------------------------
 _sign_jit = None
+_sign_blinded_jit = None
 _verify_jit = None
 
 
 def sign_ragged(priv, msgs, blinding=None):
     """Sign a ragged batch: priv [N, 64] (or broadcastable), msgs a list of
     bytes-like objects. Returns [N, 64] uint8 signatures in input order."""
-    global _sign_jit
+    global _sign_jit, _sign_blinded_jit
     from curve25519_tpu.utils import bucketing
     priv = jnp.asarray(priv, jnp.uint8)
     priv = jnp.broadcast_to(priv, (len(msgs), 64))
@@ -393,11 +403,16 @@ def sign_ragged(priv, msgs, blinding=None):
         _sign_jit = jax.jit(lambda m, l, p: sign(p, m, l))
     if blinding is None:
         return bucketing.apply_bucketed(_sign_jit, msgs, priv)
-    fn = jax.jit(lambda m, l, p: sign(
-        p, m, l, blinding=jax.tree_util.tree_map(
-            lambda v: jnp.broadcast_to(v, m.shape[:1] + v.shape[-1:]),
-            blinding)))
-    return bucketing.apply_bucketed(fn, msgs, priv)
+    # blinding enters as a traced pytree argument so repeat calls (same
+    # bucket shapes, any blinder values) hit the jit cache instead of
+    # compiling a fresh closure per invocation
+    if _sign_blinded_jit is None:
+        _sign_blinded_jit = jax.jit(lambda m, l, p, bl: sign(
+            p, m, l, blinding=jax.tree_util.tree_map(
+                lambda v: jnp.broadcast_to(v, m.shape[:1] + v.shape[-1:]),
+                bl)))
+    return bucketing.apply_bucketed(
+        lambda m, l, p: _sign_blinded_jit(m, l, p, blinding), msgs, priv)
 
 
 def verify_ragged(sig, pk, msgs, strict=False):

@@ -32,6 +32,10 @@ def calculate_public_key(sk, zr=None):
     """pk = clamp(sk) * G via the Montgomery ladder.
     Reference curve25519_dh_CalculatePublicKey (curve25519_dh.c:192-198)."""
     sk = jnp.asarray(sk, dtype=jnp.uint8)
+    if _use_pallas(sk.shape[:-1]):
+        from curve25519_tpu.ops.pallas import ladder_kernel
+        return ladder_kernel.point_multiply_pallas(_base_u(sk.shape[:-1]),
+                                                   sk, zr=zr)
     return montgomery.point_multiply(_base_u(sk.shape[:-1]), sk, zr=zr)
 
 

@@ -19,35 +19,28 @@ __all__ = ["bench", "trace", "Counter", "timed"]
 
 
 def bench(fn, *args, reps=8, rounds=3, warmup=True):
-    """Best-of-`rounds` mean-of-`reps` timing of fn(*args).
+    """Best-of-`rounds` mean-of-`reps` timing of fn(*args); returns seconds
+    per call.
 
-    Returns seconds per call. Mirrors the reference speed_test discipline
-    (min over repetitions, measurement overhead excluded by amortizing a
-    serial chain of `reps` calls per timed region). The chain feeds each
-    call's first argument from the previous result when shapes allow, so a
-    non-blocking dispatch queue cannot finish early; otherwise falls back to
-    a host fetch per round.
+    The ONE timing discipline of this repo (mirrors the reference
+    speed_test's min-of-N, test/curve25519_test.c:159-166, adapted per
+    PERF.md): each round issues `reps` INDEPENDENT dispatches and closes
+    with a host fetch of the last result. Single-device execution is FIFO,
+    so the fetch bounds all `reps` calls; the axon tunnel's
+    block_until_ready can return early, which the fetch sidesteps. Do NOT
+    chain outputs into inputs here — each dependent link adds ~15 ms of
+    measured tunnel round-trip latency that is not device throughput (the
+    intentional serial-chain slope microbench lives in
+    benchmarks/bench_fe_micro.py).
     """
-    out = fn(*args)
     if warmup:
-        np.asarray(jax_leaf(out))
-    chainable = (
-        isinstance(out, type(args[0])) and hasattr(out, "shape")
-        and hasattr(args[0], "shape") and out.shape == args[0].shape
-        and out.dtype == args[0].dtype) if args else False
+        np.asarray(jax_leaf(fn(*args)))   # compile + hard sync
     best = float("inf")
     for _ in range(rounds):
-        if chainable:
-            first = args[0]
-            t0 = time.perf_counter()
-            for _ in range(reps):
-                first = fn(first, *args[1:])
-            np.asarray(jax_leaf(first))
-        else:
-            t0 = time.perf_counter()
-            for _ in range(reps):
-                r = fn(*args)
-            np.asarray(jax_leaf(r))
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            r = fn(*args)
+        np.asarray(jax_leaf(r))
         best = min(best, (time.perf_counter() - t0) / reps)
     return best
 

@@ -1,6 +1,13 @@
-"""OO wrapper round-trips (reference C++ class layer equivalents)."""
+"""OO wrapper round-trips (reference C++ class layer equivalents).
 
-from curve25519_tpu.oo import ED25519Private, ED25519Public, X25519Private
+The wrapper routes single-op calls through the native C++ host core when
+available (latency path) and through the batched JAX stack otherwise; the
+seam tests below pin the two bit-exactly equal, mirroring the reference's
+donna-must-match gate (test/curve25519_test.c:143-154)."""
+
+import pytest
+
+from curve25519_tpu.oo import ED25519Private, ED25519Public, X25519Private, _native
 
 
 def test_x25519_oo_round_trip():
@@ -21,3 +28,45 @@ def test_ed25519_oo_sign_verify():
     assert not pub.verify(sig, msg + b"!")
     bad = bytes([sig[0] ^ 1]) + sig[1:]
     assert not pub.verify(bad, msg)
+
+
+@pytest.mark.skipif(_native() is None, reason="native host core unavailable")
+def test_native_and_jax_paths_bit_exact():
+    """The host-native latency path and the (blinded) JAX path must agree
+    bit-for-bit on every wrapper output — keys, shared secrets, signatures,
+    and verify verdicts (blinding never changes a signature, reference
+    test/curve25519_test.c:323-410)."""
+    seed = bytes(range(32))
+    an, aj = X25519Private(seed, native=True), X25519Private(seed, native=False)
+    assert an.get_public_key() == aj.get_public_key()
+    peer = X25519Private(b"p" * 32, native=True).get_public_key()
+    assert an.create_shared_key(peer) == aj.create_shared_key(peer)
+    assert (an.create_shared_key(peer, kdf=False)
+            == aj.create_shared_key(peer, kdf=False))
+
+    sn, sj = ED25519Private(seed, native=True), ED25519Private(seed, native=False)
+    assert sn.get_public_key() == sj.get_public_key()
+    msg = b"seam check"
+    sig = sn.sign(msg)
+    assert sig == sj.sign(msg)
+    pn = ED25519Public(sn.get_public_key(), native=True)
+    pj = ED25519Public(sn.get_public_key(), native=False)
+    assert pn.verify(sig, msg) and pj.verify(sig, msg)
+    bad = bytes([sig[32] ^ 1]) + sig[1:32] + sig[:1] + sig[33:]
+    assert pn.verify(bad, msg) == pj.verify(bad, msg) is False
+
+
+@pytest.mark.skipif(_native() is None, reason="native host core unavailable")
+def test_native_single_op_latency():
+    """Single-op host-path latency: the point of wiring the native core is
+    beating a device dispatch (~3 ms tunnel floor) by orders of magnitude.
+    Loose 1 ms bound — the bench suite records the real ~60 us figure."""
+    import time
+    a = X25519Private(b"L" * 32)
+    peer = X25519Private(b"M" * 32).get_public_key()
+    a.create_shared_key(peer)                       # warm (lib load)
+    t0 = time.perf_counter()
+    n = 50
+    for _ in range(n):
+        a.create_shared_key(peer)
+    assert (time.perf_counter() - t0) / n < 1e-3
