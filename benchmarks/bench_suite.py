@@ -34,6 +34,11 @@ BASELINES = {
     "x25519_single_call_latency": 12_549.0,  # 1/latency vs one ref call
     "x25519_public_key_fold4": 70_000.0,     # same anchor as the 8-fold row
     "x25519_public_key_ladder": 10_758.0,    # 316,096 cycles @3.4GHz
+    "ed25519_verify_check_shared": 32_900.0,  # same anchor as verify_check
+    # long-message hashing in bytes/s: the reference's portable-C SHA-512
+    # (source/sha512.c) sustains ~2e8 B/s on one core (80-round scalar
+    # transform at ~12 cycles/byte @ 3.4 GHz — README-class hardware)
+    "sha512_long": 2.0e8,
 }
 
 
@@ -186,6 +191,49 @@ def main():
         raise AssertionError("verify oneshot gate failed")
     emit("ed25519_verify_oneshot",
          B / bench_chain(f, (sig, pk, msg, mlen), reps), {"batch": B, **ver})
+
+    # shared-pk fast path: ONE pubkey's q_table amortized over the whole
+    # batch (the point of Verify_Init, ed25519_verify.c:179-232) — the
+    # unbatched ctx ships the table once as a shared MXU operand instead of
+    # 2.5 KB per lane
+    sig_sh = ed25519.sign(jnp.broadcast_to(priv[:1], (B, 64)), msg, mlen)
+    ctx_sh = ed25519.verify_init(pk[0])          # rank-1 pk -> shared ctx
+    assert ctx_sh["planes"].ndim == 2
+    f = jax.jit(lambda s, m, l: ed25519.verify_check(ctx_sh, s, m, l))
+    ok = np.asarray(f(sig_sh, msg, mlen))
+    bad_sig = sig_sh.at[0, 0].set(sig_sh[0, 0] ^ 1)
+    ok_bad = np.asarray(f(bad_sig, msg, mlen))
+    if not (ok.all() and not ok_bad[0] and ok_bad[1:].all()):
+        raise AssertionError("shared-pk verify gate failed")
+    emit("ed25519_verify_check_shared",
+         B / bench_chain(f, (sig_sh, msg, mlen), reps),
+         {"batch": B, "note": "1 pk x B msgs, shared MXU q_table", **ver})
+
+    # long-message SHA-512: the chunked kernel streams CHUNK_BLOCKS-block
+    # chunks, so VMEM holds O(chunk) while messages are 1 MiB (8193 blocks).
+    # Data is generated on-device (a 1 GiB host->device push would time the
+    # tunnel, not the hash); value is hashed bytes/s over actual lengths.
+    Bl, Ll = 1024, 1 << 20
+    key = jax.random.PRNGKey(7)
+    lmsg = jax.random.randint(key, (Bl, Ll), 0, 256, jnp.uint8)
+    llen = jnp.concatenate([
+        jnp.asarray([0, 1, 111, Ll - 1], jnp.int32),
+        jax.random.randint(jax.random.PRNGKey(8), (Bl - 5,), 0, Ll + 1,
+                           jnp.int32),
+        jnp.asarray([Ll], jnp.int32)])
+    import hashlib as _hl
+    f = jax.jit(sha512)
+    dig = np.asarray(f(lmsg, llen)[:NV])
+    rows = np.asarray(lmsg[:NV])
+    lens_h = np.asarray(llen[:NV])
+    check_rows("sha512_long", dig,
+               [_hl.sha512(rows[i, :lens_h[i]].tobytes()).digest()
+                for i in range(NV)])
+    total_bytes = int(np.asarray(llen).astype(np.int64).sum())
+    secs = bench_chain(f, (lmsg, llen), max(2, reps // 2))
+    emit("sha512_long", total_bytes / secs,
+         {"batch": Bl, "msg_mib": 1, "unit_note": "bytes/s",
+          "total_mib": round(total_bytes / 2**20, 1), **ver})
 
     # config 5 (single-chip leg): mixed DH + sign + verify pipeline; the
     # multi-host form shards this over a Mesh (parallel/mesh.py,

@@ -280,8 +280,12 @@ def verify_check(ctx, sig, msg, msg_len=None, strict=False):
     from curve25519_tpu.ops.pallas import use_pallas
     if use_pallas(batch):
         from curve25519_tpu.ops.pallas import verify_kernel
-        planes = jnp.broadcast_to(
-            ctx["planes"], batch + ctx["planes"].shape[-2:])
+        # an unbatched ctx (one pk, many messages) stays unbatched: the
+        # kernel then ships the q_table once as a shared MXU operand
+        # instead of broadcasting 2.5 KB of planes per lane through HBM
+        planes = ctx["planes"]
+        if planes.ndim != 2:
+            planes = jnp.broadcast_to(planes, batch + planes.shape[-2:])
         rx, ry = verify_kernel.poly_mult_pallas(
             jnp.broadcast_to(s_bits, batch + (256,)),
             jnp.broadcast_to(h_bits, batch + (256,)), planes)

@@ -4,10 +4,13 @@ The batched jnp path (ops/sha512.py) keeps 64-bit words as [..., 2] uint32
 pairs whose tiny trailing axes waste VPU lanes and whose 80-round scan
 round-trips HBM. Here each grid block owns TILE_BATCH = 1024 messages laid
 out as [8, 128] uint32 tiles — one full VPU tile per word-half — with the
-whole multi-block compression unrolled in VMEM/registers: the 80 rounds are
-python-unrolled so the round constants are vector immediates (an SMEM load
-per round serializes the pipeline), and the 16-word schedule lives in a
-rotating python list of tiles.
+compression running in VMEM/registers: the 80 rounds are python-unrolled so
+the round constants are vector immediates (an SMEM load per round serializes
+the pipeline), and the 16-word schedule lives in a rotating python list of
+tiles. Long messages stream through a second (sequential) grid axis of
+CHUNK_BLOCKS-block chunks with the hash state carried in the output block,
+so VMEM holds O(chunk) — message length is bounded only by HBM and the
+int32 byte-length field (< 2^31 bytes).
 
 FIPS 180-4 padding runs on the host side of the kernel boundary but in the
 *word* domain: bytes are packed to big-endian uint32 words first (one
@@ -95,12 +98,23 @@ def _round(st, wh, wl, kh, kl):
             neh, nel, eh, el, fh, fl, gh, gl)
 
 
-def _sha_kernel(w_ref, nb_ref, h0_ref, k_ref, out_ref, *, nblocks, unroll):
+def _sha_kernel(w_ref, nb_ref, h0_ref, k_ref, out_ref, *, chunk, unroll):
+    """One grid step compresses `chunk` blocks; the hash state is carried
+    across chunks in out_ref (the chunk grid axis is ARBITRARY, so Mosaic
+    keeps the same out block VMEM-resident between consecutive steps). VMEM
+    therefore holds O(chunk) message words, not O(message) — the fixed-shape
+    answer to the reference's constant-memory streaming Update
+    (source/sha512.c:118-157)."""
+    c = pl.program_id(1)
     nb_lane = nb_ref[0, 0]                       # [S, L] int32
     # H0 enters as a VMEM input: loop-carried state must originate from
     # loads — constant-derived carries get a replicated Mosaic layout that
-    # cannot meet the loop body's concrete layout at the back-edge
-    st = tuple(h0_ref[0, i] for i in range(16))
+    # cannot meet the loop body's concrete layout at the back-edge.
+    # On chunk 0 start from H0; afterwards resume from the carried state
+    # (out_ref is uninitialized on chunk 0 — the select discards it).
+    first = c == 0
+    st = tuple(jnp.where(first, h0_ref[0, i], out_ref[0, i])
+               for i in range(16))
 
     def block_step(b, st):
         if unroll:
@@ -144,8 +158,8 @@ def _sha_kernel(w_ref, nb_ref, h0_ref, k_ref, out_ref, *, nblocks, unroll):
 
             v, _ = jax.lax.fori_loop(16, 80, recur, (v, win))
 
-        # lanes whose message ended before block b keep their state
-        active = b < nb_lane
+        # lanes whose message ended before this global block keep their state
+        active = c * chunk + b < nb_lane
         new = []
         for i in range(8):
             nh, nl = _add64(st[2 * i], st[2 * i + 1],
@@ -153,36 +167,59 @@ def _sha_kernel(w_ref, nb_ref, h0_ref, k_ref, out_ref, *, nblocks, unroll):
             new.extend((nh, nl))
         return tuple(jnp.where(active, n, o) for n, o in zip(new, st))
 
-    st = jax.lax.fori_loop(0, nblocks, block_step, st)
+    st = jax.lax.fori_loop(0, chunk, block_step, st)
     out_ref[0] = jnp.stack(st, axis=0)
 
 
-@functools.partial(jax.jit, static_argnames=("nblocks", "interpret"))
-def sha512_blocks_tiled(w_t, nb_t, nblocks, interpret=False):
+# Default blocks per grid step: 16 blocks = 2 KiB/lane = 2 MiB of message
+# words per [8, 128] tile in VMEM (double-buffered by the pipeline), far
+# under the ~16 MiB budget regardless of message length.
+CHUNK_BLOCKS = 16
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("nblocks", "chunk", "interpret"))
+def sha512_blocks_tiled(w_t, nb_t, nblocks, chunk=None, interpret=False):
     """w_t: [G, nblocks*32, 8, 128] uint32 big-endian padded block words
     (order: block, word 0..15, hi/lo); nb_t: [G, 1, 8, 128] int32 per-lane
-    active block counts. Returns [G, 16, 8, 128] uint32 digest words."""
-    g = w_t.shape[0]
+    active block counts. Returns [G, 16, 8, 128] uint32 digest words.
 
-    def spec(k):
-        return pl.BlockSpec((1, k, ft.TILE_S, ft.TILE_L),
-                            lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+    The kernel grids over ceil(nblocks/chunk) sequential chunk steps with
+    the hash state carried in the output block, so VMEM usage is bounded by
+    `chunk` blocks — message length is limited only by HBM (and the int32
+    byte-length field: < 2^31 bytes per message)."""
+    g = w_t.shape[0]
+    if chunk is None:
+        chunk = min(nblocks, CHUNK_BLOCKS)
+    chunk = min(chunk, nblocks)
+    nchunks = (nblocks + chunk - 1) // chunk
+    if nchunks * chunk != nblocks:
+        w_t = jnp.concatenate(
+            [w_t, jnp.zeros((g, (nchunks * chunk - nblocks) * 32,
+                             ft.TILE_S, ft.TILE_L), jnp.uint32)], axis=1)
+
+    def spec(k, index_map):
+        return pl.BlockSpec((1, k, ft.TILE_S, ft.TILE_L), index_map,
+                            memory_space=pltpu.VMEM)
 
     h0 = jnp.broadcast_to(
         jnp.asarray(sha_jnp._H0_HL.reshape(16), jnp.uint32)[None, :, None,
                                                             None],
         (1, 16, ft.TILE_S, ft.TILE_L))
-    h0_spec = pl.BlockSpec((1, 16, ft.TILE_S, ft.TILE_L),
-                           lambda i: (0, 0, 0, 0), memory_space=pltpu.VMEM)
     k_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     return pl.pallas_call(
-        functools.partial(_sha_kernel, nblocks=nblocks,
-                          unroll=not interpret),
-        grid=(g,),
-        in_specs=[spec(nblocks * 32), spec(1), h0_spec, k_spec],
-        out_specs=spec(16),
+        functools.partial(_sha_kernel, chunk=chunk, unroll=not interpret),
+        grid=(g, nchunks),
+        in_specs=[spec(chunk * 32, lambda i, c: (i, c, 0, 0)),
+                  spec(1, lambda i, c: (i, 0, 0, 0)),
+                  spec(16, lambda i, c: (0, 0, 0, 0)),
+                  k_spec],
+        out_specs=spec(16, lambda i, c: (i, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((g, 16, ft.TILE_S, ft.TILE_L),
                                        jnp.uint32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=(pltpu.GridDimensionSemantics.PARALLEL,
+                                 pltpu.GridDimensionSemantics.ARBITRARY)),
         interpret=interpret,
     )(w_t, nb_t, h0, jnp.asarray(sha_jnp._K_HL))
 
@@ -231,15 +268,25 @@ def _pack_words(msg, length):
     return words, nblocks, nb
 
 
-def sha512_pallas(msg, length=None, interpret=False):
+def sha512_pallas(msg, length=None, interpret=False, chunk=None):
     """Batched SHA-512 via the Pallas compression kernel; same semantics as
-    ops.sha512.sha512 for flat [B, L] uint8 batches."""
+    ops.sha512.sha512 for [..., L] uint8 batches (any batch shape — leading
+    axes are flattened and restored; rank-1 single messages cost one padded
+    tile). Message length is bounded by HBM and the int32 length field
+    (< 2^31 bytes), not VMEM — the kernel streams `chunk` blocks per grid
+    step."""
+    from curve25519_tpu.ops.pallas import flatten_batch
+
     msg = jnp.asarray(msg, dtype=jnp.uint8)
-    b, max_len = msg.shape
+    batch = msg.shape[:-1]
+    max_len = msg.shape[-1]
+    b, unflatten = flatten_batch(batch)
+    msg = msg.reshape(b, max_len)
     if length is None:
         length = jnp.full((b,), max_len, dtype=jnp.int32)
     else:
-        length = jnp.asarray(length, dtype=jnp.int32)
+        length = jnp.broadcast_to(
+            jnp.asarray(length, dtype=jnp.int32), batch).reshape(b)
 
     words, nblocks, nb = _pack_words(msg, length)  # [B, nb*32]
 
@@ -251,9 +298,9 @@ def sha512_pallas(msg, length=None, interpret=False):
         [nblocks[:, None], jnp.zeros((bpad - b, 1), jnp.int32)], 0)
 
     out_t = sha512_blocks_tiled(
-        ft.tile_lanes(flat, g), ft.tile_lanes(nbl, g), nb,
+        ft.tile_lanes(flat, g), ft.tile_lanes(nbl, g), nb, chunk=chunk,
         interpret=interpret)
     st = ft.untile_lanes(out_t)[:b]                  # [B, 16] uint32
     sh = jnp.asarray([24, 16, 8, 0], dtype=jnp.uint32)
     by = (st[..., :, None] >> sh) & 0xFF
-    return by.reshape(b, 64).astype(jnp.uint8)
+    return unflatten(by.reshape(b, 64).astype(jnp.uint8))

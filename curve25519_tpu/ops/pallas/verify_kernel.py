@@ -29,8 +29,8 @@ from curve25519_tpu.ops import fold
 from curve25519_tpu.ops.pallas import edwards_kernel as ek
 from curve25519_tpu.ops.pallas import fe_tile as ft
 
-__all__ = ["poly_mult_tiled", "poly_mult_pallas",
-           "verify_init_tiled", "verify_init_pallas"]
+__all__ = ["poly_mult_tiled", "poly_mult_tiled_shared", "poly_mult_pallas",
+           "qplanes_shared", "verify_init_tiled", "verify_init_pallas"]
 
 _QROWS = 4 * NLIMBS          # ypx, ymx, t2d, z2 limbs per q_table entry
 
@@ -67,13 +67,38 @@ def _gather_qt(entries, idx):
             q[2 * NLIMBS:3 * NLIMBS], q[3 * NLIMBS:])
 
 
-def _poly_kernel(u_ref, v_ref, qt_ref, planes_ref, ox_ref, oy_ref):
+def _gather_qt_shared(qplanes, idx):
+    """Shared-pk q_table fetch: one-hot bf16 matmul against the single
+    [2*_QROWS, 16] plane operand every lane shares (same MXU trick as the
+    base folding table, edwards_kernel._gather_pa). Exact: plane values are
+    <= 127 and one-hot entries are bf16-exact; accumulation is f32."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, (16, ft.TILE_S, ft.TILE_L), 0)
+    oh = (iota == idx[None]).astype(jnp.bfloat16).reshape(16, ft.TILE_BATCH)
+    flat = jax.lax.dot(qplanes, oh,
+                       preferred_element_type=jnp.float32)  # [2*_QROWS, 1024]
+    vals = flat.reshape(2 * _QROWS, ft.TILE_S, ft.TILE_L).astype(jnp.int32)
+    q = vals[:_QROWS] + (vals[_QROWS:] << 7)
+    return (q[:NLIMBS], q[NLIMBS:2 * NLIMBS],
+            q[2 * NLIMBS:3 * NLIMBS], q[3 * NLIMBS:])
+
+
+def _poly_kernel(u_ref, v_ref, qt_ref, planes_ref, ox_ref, oy_ref, *,
+                 shared_qt=False):
     pad = ft.t_pad()
     planes = planes_ref[...]
-    qt = _unpack_qt(qt_ref[0])
+    if shared_qt:
+        qp = qt_ref[...].astype(jnp.bfloat16)
+
+        def gather_qt(idx):
+            return _gather_qt_shared(qp, idx)
+    else:
+        qt = _unpack_qt(qt_ref[0])
+
+        def gather_qt(idx):
+            return _gather_qt(qt, idx)
 
     # init from q_table[v[0]]: (x, y, z, t) = (YpX-YmX, YpX+YmX, Z2, T2d/2d)
-    ypx, ymx, t2d, z2 = _gather_qt(qt, v_ref[0, 0])
+    ypx, ymx, t2d, z2 = gather_qt(v_ref[0, 0])
     x = ft.t_sub(ypx, ymx, pad)
     y = ft.t_add(ypx, ymx)
     di = jnp.broadcast_to(ft.t_const(int_to_limbs(ED_DI)), t2d.shape)
@@ -82,7 +107,7 @@ def _poly_kernel(u_ref, v_ref, qt_ref, planes_ref, ox_ref, oy_ref):
 
     def step1(i, st):
         st = ek._double(st, pad)
-        q = _gather_qt(qt, v_ref[0, i])
+        q = gather_qt(v_ref[0, i])
         return ek._add_pe(st, *q, pad)
 
     st = jax.lax.fori_loop(1, 32, step1, st)
@@ -91,7 +116,7 @@ def _poly_kernel(u_ref, v_ref, qt_ref, planes_ref, ox_ref, oy_ref):
         st = ek._double(st, pad)
         pa = ek._gather_pa(planes, u_ref[0, i - 32])
         st = ek._add_pa(st, *pa, pad)
-        q = _gather_qt(qt, v_ref[0, i])
+        q = gather_qt(v_ref[0, i])
         return ek._add_pe(st, *q, pad)
 
     st = jax.lax.fori_loop(32, 64, step2, st)
@@ -126,6 +151,44 @@ def poly_mult_tiled(u_t, v_t, qt_t, interpret=False):
         out_shape=(out_shape, out_shape),
         interpret=interpret,
     )(u_t, v_t, qt_t, ek.folding8_planes_T())
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def poly_mult_tiled_shared(u_t, v_t, qplanes, interpret=False):
+    """Shared-pk variant: one q_table for every lane (the common one-pk ×
+    many-messages amortization Verify_Init exists for,
+    ed25519_verify.c:179-232). qplanes: [2*_QROWS, 16] bf16 plane operand —
+    ~5 KB total instead of 2.5 KB *per lane* of HBM traffic."""
+    g = u_t.shape[0]
+
+    def spec(k):
+        return pl.BlockSpec((1, k, ft.TILE_S, ft.TILE_L),
+                            lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+
+    qp_spec = pl.BlockSpec((2 * _QROWS, 16), lambda i: (0, 0),
+                           memory_space=pltpu.VMEM)
+    planes_spec = pl.BlockSpec((2 * ek._W, 256), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((g, NLIMBS, ft.TILE_S, ft.TILE_L),
+                                     jnp.int32)
+    return pl.pallas_call(
+        functools.partial(_poly_kernel, shared_qt=True),
+        grid=(g,),
+        in_specs=[spec(32), spec(64), qp_spec, planes_spec],
+        out_specs=(spec(NLIMBS), spec(NLIMBS)),
+        out_shape=(out_shape, out_shape),
+        interpret=interpret,
+    )(u_t, v_t, qplanes, ek.folding8_planes_T())
+
+
+def qplanes_shared(planes):
+    """[16, 8*NLIMBS] int8 ctx planes -> the [2*_QROWS, 16] bf16 operand for
+    the shared-pk MXU gather. Rows 0.._QROWS-1 are the lo-7-bit planes of
+    each entry's (ypx, ymx, t2d, z2) limbs, rows _QROWS.. the hi bits —
+    matching the per-entry lo/hi row layout _unpack_qt consumes."""
+    lo = planes[:, :_QROWS].astype(jnp.bfloat16)     # [16, _QROWS]
+    hi = planes[:, _QROWS:].astype(jnp.bfloat16)
+    return jnp.concatenate([lo.T, hi.T], axis=0)     # [2*_QROWS, 16]
 
 
 def _t_sqrt_ratio(u, v, pad):
@@ -252,31 +315,42 @@ def poly_mult_pallas(s_bits, h_bits, planes, interpret=False):
 
     s_bits/h_bits: [..., 256] scalar bits; planes: [..., 16, 8*NLIMBS] int8 —
     the Verify_Init context's plane-split q_table (models/ed25519.verify_init).
-    Any batch shape — leading axes are flattened and restored. Returns affine
-    (x, y) limb tensors [..., NLIMBS]."""
+    Any batch shape — leading axes are flattened and restored. An *unbatched*
+    planes array (ndim == 2: one pk shared by the whole batch) routes to the
+    shared-operand kernel, which ships the q_table once as a bf16 MXU operand
+    instead of 2.5 KB per lane. Returns affine (x, y) limb tensors
+    [..., NLIMBS]."""
     from curve25519_tpu.ops.pallas import flatten_batch
 
     batch = s_bits.shape[:-1]
     b, unflatten = flatten_batch(batch)
     s_bits = s_bits.reshape(b, 256)
     h_bits = jnp.broadcast_to(h_bits, batch + (256,)).reshape(b, 256)
-    planes = jnp.broadcast_to(
-        planes, batch + planes.shape[-2:]).reshape((b,) + planes.shape[-2:])
+    shared = planes.ndim == 2        # one pk for the whole batch
+    if not shared:
+        planes = jnp.broadcast_to(
+            planes,
+            batch + planes.shape[-2:]).reshape((b,) + planes.shape[-2:])
     bpad = ((b + ft.TILE_BATCH - 1) // ft.TILE_BATCH) * ft.TILE_BATCH
     g = bpad // ft.TILE_BATCH
 
     u = fold.cut8(s_bits).astype(jnp.int32)                # [B, 32]
     v = fold.cut4(h_bits).astype(jnp.int32)                # [B, 64]
-    # ship the planes as int8 end-to-end (entry-major [B, 16*160]); the
-    # kernel unpacks them in VMEM, halving the q_table HBM traffic
-    qt8 = planes.reshape(b, 16 * 8 * NLIMBS)
 
     def padd(x):
         return jnp.concatenate(
             [x, jnp.zeros((bpad - b, x.shape[-1]), x.dtype)], 0)
 
-    x_t, y_t = poly_mult_tiled(
-        ft.tile_lanes(padd(u), g), ft.tile_lanes(padd(v), g),
-        ft.tile_lanes(padd(qt8), g), interpret=interpret)
+    if shared:
+        x_t, y_t = poly_mult_tiled_shared(
+            ft.tile_lanes(padd(u), g), ft.tile_lanes(padd(v), g),
+            qplanes_shared(planes), interpret=interpret)
+    else:
+        # ship the planes as int8 end-to-end (entry-major [B, 16*160]); the
+        # kernel unpacks them in VMEM, halving the q_table HBM traffic
+        qt8 = planes.reshape(b, 16 * 8 * NLIMBS)
+        x_t, y_t = poly_mult_tiled(
+            ft.tile_lanes(padd(u), g), ft.tile_lanes(padd(v), g),
+            ft.tile_lanes(padd(qt8), g), interpret=interpret)
     return (unflatten(ft.untile_lanes(x_t)[:b]),
             unflatten(ft.untile_lanes(y_t)[:b]))

@@ -170,6 +170,40 @@ def test_pallas_poly_mult_interpret_matches_scan():
 
 
 @pytest.mark.slow
+def test_pallas_poly_mult_shared_qt_interpret():
+    """Shared-pk fast path (one pk, many messages — VERDICT r2 item 5): the
+    shared-MXU-operand kernel must be bit-exact vs the per-lane-table kernel
+    and the jnp path."""
+    from curve25519_tpu.models import ed25519
+    from curve25519_tpu.ops.pallas import verify_kernel as vk
+    from curve25519_tpu.ops.sha512 import sha512
+    from curve25519_tpu.ops import sc
+    B = 40
+    seed = jnp.asarray(rng.integers(0, 256, (1, 32), dtype=np.uint8))
+    msg = jnp.asarray(rng.integers(0, 256, (B, 24), dtype=np.uint8))
+    mlen = jnp.full((B,), 24, jnp.int32)
+    pk, priv = ed25519.create_keypair(seed[0])
+    sig = ed25519.sign(jnp.broadcast_to(priv, (B, 64)), msg, mlen)
+    ctx = ed25519.verify_init(pk)              # unbatched: planes [16, 160]
+    assert ctx["planes"].ndim == 2
+
+    hmsg = jnp.concatenate(
+        [sig[..., :32], jnp.broadcast_to(pk, (B, 32)), msg], -1)
+    h = sc.from_digest(sha512(hmsg, 64 + mlen))
+    s_bits = codec.scalar_bits(sig[..., 32:])
+    h_bits = codec.scalar_bits(sc.to_bytes(h))
+
+    rx_ref, ry_ref = ed25519._poly_point_multiply(s_bits, h_bits,
+                                                  ctx["planes"])
+    rx_p, ry_p = vk.poly_mult_pallas(s_bits, h_bits, ctx["planes"],
+                                     interpret=True)
+    assert np.array_equal(np.asarray(fe.to_bytes(rx_p)),
+                          np.asarray(fe.to_bytes(rx_ref)))
+    assert np.array_equal(np.asarray(fe.to_bytes(ry_p)),
+                          np.asarray(fe.to_bytes(ry_ref)))
+
+
+@pytest.mark.slow
 def test_pallas_verify_init_interpret_matches_scan():
     """Verify_Init kernel (decompress + 192-double q_table build) vs the jnp
     path, including an invalid (non-point) pubkey lane."""

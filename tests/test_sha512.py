@@ -64,3 +64,24 @@ def test_sha512_pallas_kernel_interpret():
     for i in range(64):
         exp = hashlib.sha512(msg[i, :lens[i]].tobytes()).digest()
         assert bytes(out[i].tolist()) == exp, (i, lens[i])
+
+
+def test_sha512_pallas_kernel_chunked():
+    """The streaming chunk axis (state carried across grid steps, VERDICT r2
+    item 4): a multi-block message hashed with chunk sizes that divide, don't
+    divide, and exceed the block count must all match hashlib — including
+    lanes whose final block lands mid-chunk."""
+    from curve25519_tpu.ops.pallas import sha512_kernel as sk
+    r = np.random.default_rng(23)
+    B, L = 16, 700                      # up to 6 SHA-512 blocks
+    msg = r.integers(0, 256, (B, L), dtype=np.uint8)
+    lens = r.integers(0, L + 1, (B,)).astype(np.int32)
+    lens[:6] = [0, 111, 112, 128, 256, 700]
+    exp = [hashlib.sha512(msg[i, :lens[i]].tobytes()).digest()
+           for i in range(B)]
+    for chunk in (1, 2, 4, 16):
+        out = np.asarray(sk.sha512_pallas(
+            jnp.asarray(msg), jnp.asarray(lens), interpret=True,
+            chunk=chunk))
+        for i in range(B):
+            assert bytes(out[i].tolist()) == exp[i], (chunk, i, lens[i])
