@@ -26,12 +26,14 @@ custom:
 	$(PY) -m curve25519_tpu.tools.custom_tool b
 
 # -n 2: pytest-xdist over both host cores (the suite is XLA-compile-bound);
-# pytest's trailing "in N s" line is the fast tier's wall-clock budget check.
+# --dist loadfile keeps a file's tests on one worker so module-level jitted
+# wrappers reuse their traced/compiled graphs. pytest's trailing "in N s"
+# line is the fast tier's wall-clock budget check.
 test:
-	$(PY) -m pytest tests/ -q -m "not slow" -n 2
+	$(PY) -m pytest tests/ -q -m "not slow" -n 2 --dist loadfile
 
 test-all:
-	$(PY) -m pytest tests/ -q -n 2
+	$(PY) -m pytest tests/ -q -n 2 --dist loadfile
 
 bench:
 	$(PY) bench.py

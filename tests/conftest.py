@@ -15,6 +15,12 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 
 import jax  # noqa: E402
 
+# Restrict backend discovery to CPU BEFORE any device query: merely pinning
+# jax_default_device still initializes the axon TPU plugin, whose tunnel
+# handshake costs ~60 s per pytest worker process (measured). The
+# jax_platforms *config* (unlike the JAX_PLATFORMS env var, which the
+# plugin ignores) prevents that backend from being brought up at all.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_device", jax.devices("cpu")[0])
 jax.config.update("jax_platform_name", "cpu")
 

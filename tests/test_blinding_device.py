@@ -4,6 +4,7 @@ invariance (reference ed25519_Blinding_Init, ed25519_sign.c:289-331;
 blinding must never change signatures, test/curve25519_test.c:323-410)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -75,6 +76,7 @@ def test_fold4_public_api_matches_fold8():
     assert np.array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_device_blinding_does_not_change_signatures():
     rng = np.random.default_rng(5)
     B = 4

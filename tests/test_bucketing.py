@@ -45,12 +45,13 @@ def test_sign_ragged_matches_per_message():
     seeds = jnp.asarray(rng.integers(0, 256, (len(MSGS), 32), np.uint8))
     pk, priv = ed25519.create_keypair(seeds)
     sigs = np.asarray(ed25519.sign_ragged(priv, MSGS))
-    # oracle: one exact-length unbucketed sign per message
+    # oracle: the pure-python reference model signs every message with no
+    # padding/bucketing at all (and no extra XLA compiles — per-message
+    # exact-length device signs would each compile a fresh shape)
+    from curve25519_tpu import refmodel
     for i, m in enumerate(MSGS):
-        arr = jnp.asarray(np.frombuffer(m, np.uint8))[None, :] if m else \
-            jnp.zeros((1, 0), jnp.uint8)
-        want = np.asarray(ed25519.sign(priv[i:i + 1], arr))[0]
-        assert bytes(sigs[i].tolist()) == bytes(want.tolist())
+        want = refmodel.ed_sign(bytes(np.asarray(priv[i]).tolist()), m)
+        assert bytes(sigs[i].tolist()) == want
     ok = np.asarray(ed25519.verify_ragged(sigs, pk, MSGS))
     assert ok.all()
     # tampered message must fail in its own bucket

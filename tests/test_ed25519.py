@@ -14,6 +14,16 @@ from curve25519_tpu.models import blinding, ed25519
 
 rng = np.random.default_rng(11)
 
+# Module-level jitted wrappers: a fresh jax.jit(...) per test retraces and
+# re-looks-up the compile cache every time; sharing one wrapper lets
+# same-shape calls across tests in this file reuse the traced+compiled
+# graph within a pytest worker (pair with --dist loadfile).
+JK = jax.jit(ed25519.create_keypair)
+JS = jax.jit(ed25519.sign)
+JV = jax.jit(ed25519.verify, static_argnames=("strict",))
+JK_BL = jax.jit(lambda s, bl: ed25519.create_keypair(s, blinding=bl))
+JS_BL = jax.jit(lambda p, m, bl: ed25519.sign(p, m, blinding=bl))
+
 
 def b2a(hexstr):
     return jnp.asarray(np.frombuffer(bytes.fromhex(hexstr), np.uint8))
@@ -55,11 +65,11 @@ def _pad_msgs(hex_msgs, L=8):
 
 def test_rfc8032_keygen_sign():
     sks = jnp.stack([b2a(v[0]) for v in VECS])
-    pk, priv = jax.jit(ed25519.create_keypair)(sks)
+    pk, priv = JK(sks)
     for i, v in enumerate(VECS):
         assert a2b(pk[i]).hex() == v[1], i
     msgs, lens = _pad_msgs([v[2] for v in VECS])
-    sigs = jax.jit(ed25519.sign)(priv, msgs, lens)
+    sigs = JS(priv, msgs, lens)
     for i, v in enumerate(VECS):
         assert a2b(sigs[i]).hex() == v[3], i
 
@@ -68,34 +78,39 @@ def test_rfc8032_verify():
     pks = jnp.stack([b2a(v[1]) for v in VECS])
     sigs = jnp.stack([b2a(v[3]) for v in VECS])
     msgs, lens = _pad_msgs([v[2] for v in VECS])
-    ok = jax.jit(ed25519.verify)(sigs, pks, msgs, lens)
+    ok = JV(sigs, pks, msgs, lens)
     assert np.asarray(ok).all()
-    ok_strict = ed25519.verify(sigs, pks, msgs, lens, strict=True)
-    assert np.asarray(ok_strict).all()
+    # strict-mode accept/reject semantics are covered (without another
+    # whole-verify compile here) by tests/test_edge_encodings.py's
+    # [strict-*] parametrizations and test_strict_rejects_malleable_s
 
 
 def test_tamper_rejection():
     pks = jnp.stack([b2a(v[1]) for v in VECS])
     sigs = jnp.stack([b2a(v[3]) for v in VECS])
     msgs, lens = _pad_msgs([v[2] for v in VECS])
-    # flip one bit in R, in S, and in the message respectively
+    # one batched jitted verify over all four tampered rows (bit flipped in
+    # R, in S, in the message, and a swapped pubkey) — four eager verify
+    # calls would each pay op-by-op dispatch of the whole double-scalar mult
     bad_r = sigs.at[0, 3].set(sigs[0, 3] ^ 1)
-    assert not np.asarray(ed25519.verify(bad_r, pks, msgs, lens))[0]
     bad_s = sigs.at[1, 40].set(sigs[1, 40] ^ 0x10)
-    assert not np.asarray(ed25519.verify(bad_s, pks, msgs, lens))[1]
     bad_m = msgs.at[2, 0].set(msgs[2, 0] ^ 0x80)
-    assert not np.asarray(ed25519.verify(sigs, pks, bad_m, lens))[2]
-    # wrong public key
-    assert not np.asarray(ed25519.verify(sigs, pks[::-1], msgs, lens))[0]
+    rows_sig = jnp.stack([bad_r[0], bad_s[1], sigs[2], sigs[0]])
+    rows_pk = jnp.stack([pks[0], pks[1], pks[2], pks[::-1][0]])
+    rows_msg = jnp.stack([msgs[0], msgs[1], bad_m[2], msgs[0]])
+    rows_len = jnp.stack([lens[0], lens[1], lens[2], lens[0]])
+    ok = np.asarray(JV(rows_sig, rows_pk, rows_msg,
+                                            rows_len))
+    assert not ok.any()
 
 
 def test_batch_round_trip_vs_oracle():
     B, L = 6, 40
     sks = jnp.asarray(rng.integers(0, 256, (B, 32), dtype=np.uint8))
     msgs = jnp.asarray(rng.integers(0, 256, (B, L), dtype=np.uint8))
-    pk, priv = jax.jit(ed25519.create_keypair)(sks)
-    sigs = jax.jit(ed25519.sign)(priv, msgs)
-    ok = jax.jit(ed25519.verify)(sigs, pk, msgs)
+    pk, priv = JK(sks)
+    sigs = JS(priv, msgs)
+    ok = JV(sigs, pk, msgs)
     assert np.asarray(ok).all()
     # differential: python oracle agrees on pk, sig, and verdict
     for i in range(B):
@@ -107,6 +122,7 @@ def test_batch_round_trip_vs_oracle():
         assert refmodel.ed_verify(a2b(sigs[i]), pk_ref, a2b(msgs[i]))
 
 
+@pytest.mark.slow
 def test_two_phase_verify_amortized():
     # one pubkey, many messages — Verify_Init once, Verify_Check per message
     sk = jnp.asarray(rng.integers(0, 256, (32,), dtype=np.uint8))
@@ -125,18 +141,23 @@ def test_two_phase_verify_amortized():
 def test_blinding_does_not_change_signatures():
     # the reference asserts signatures are identical with/without blinding
     ctx = blinding.blinding_init(b"test blinding seed 123")
+    # drop the host-side chaining ints (_b etc.) — they are not jit-traceable
+    ctx = {k: v for k, v in ctx.items() if not k.startswith("_")}
     B, L = 4, 24
     sks = jnp.asarray(rng.integers(0, 256, (B, 32), dtype=np.uint8))
     msgs = jnp.asarray(rng.integers(0, 256, (B, L), dtype=np.uint8))
-    pk0, priv0 = ed25519.create_keypair(sks)
-    pk1, priv1 = ed25519.create_keypair(sks, blinding=ctx)
+    pk0, priv0 = JK(sks)
+    pk1, priv1 = JK_BL(sks, ctx)
     assert np.array_equal(np.asarray(pk0), np.asarray(pk1))
-    s0 = ed25519.sign(priv0, msgs)
-    s1 = ed25519.sign(priv1, msgs, blinding=ctx)
+    s0 = JS(priv0, msgs)
+    s1 = JS_BL(priv1, msgs, ctx)
     assert np.array_equal(np.asarray(s0), np.asarray(s1))
 
 
+@pytest.mark.slow
 def test_strict_rejects_malleable_s():
+    # fast-tier twin: the malleable-s-plus-l vector in
+    # tests/test_edge_encodings.py asserts the same accept/reject pair
     from curve25519_tpu.config import ELL
     pks = jnp.stack([b2a(v[1]) for v in VECS])[:1]
     sigs = jnp.stack([b2a(v[3]) for v in VECS])[:1]
@@ -145,8 +166,8 @@ def test_strict_rejects_malleable_s():
     s_mall = (s + ELL).to_bytes(32, "little")
     sig_mall = jnp.asarray(np.frombuffer(a2b(sigs[0][:32]) + s_mall, np.uint8))[None]
     # reference semantics: accepted; strict RFC mode: rejected
-    assert np.asarray(ed25519.verify(sig_mall, pks, msgs, lens))[0]
-    assert not np.asarray(ed25519.verify(sig_mall, pks, msgs, lens, strict=True))[0]
+    assert np.asarray(JV(sig_mall, pks, msgs, lens))[0]
+    assert not np.asarray(JV(sig_mall, pks, msgs, lens, strict=True))[0]
 
 
 def test_invalid_pubkey_rejected():
@@ -154,7 +175,7 @@ def test_invalid_pubkey_rejected():
     bad_pk = jnp.asarray(np.full((1, 32), 0xFF, np.uint8))
     sigs = jnp.stack([b2a(VECS[0][3])])
     msgs, lens = _pad_msgs([VECS[0][2]])
-    assert not np.asarray(ed25519.verify(sigs, bad_pk, msgs, lens))[0]
+    assert not np.asarray(JV(sigs, bad_pk, msgs, lens))[0]
 
 
 def test_verify_finish_and_blinding_finish():

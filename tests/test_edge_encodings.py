@@ -29,6 +29,7 @@ agreement. Decode semantics (documented in models/ed25519.py):
 import hashlib
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -139,6 +140,10 @@ def _vectors():
 VECTORS = _vectors()
 
 
+_JVERIFY = jax.jit(ed25519.verify, static_argnames=("strict",))
+_JVERIFY_TF = jax.jit(ed25519.verify_tablefree, static_argnames=("strict",))
+
+
 def _batched(strict, tablefree):
     pks = jnp.asarray(np.stack([np.frombuffer(v[1], np.uint8)
                                 for v in VECTORS]))
@@ -146,7 +151,7 @@ def _batched(strict, tablefree):
                                  for v in VECTORS]))
     msgs = jnp.asarray(np.stack([np.frombuffer(v[3], np.uint8)
                                  for v in VECTORS]))
-    fn = ed25519.verify_tablefree if tablefree else ed25519.verify
+    fn = _JVERIFY_TF if tablefree else _JVERIFY
     return np.asarray(fn(sigs, pks, msgs, strict=strict))
 
 
@@ -208,10 +213,10 @@ def test_keygen_sign_extreme_seeds():
     """All-zero / all-FF seeds through keygen + sign match the oracle."""
     seeds = [bytes(32), b"\xff" * 32, bytes(range(32))]
     arr = jnp.asarray(np.stack([np.frombuffer(s, np.uint8) for s in seeds]))
-    pk_d, priv_d = ed25519.create_keypair(arr)
+    pk_d, priv_d = jax.jit(ed25519.create_keypair)(arr)
     msgs = jnp.broadcast_to(
         jnp.asarray(np.frombuffer(MSG, np.uint8)), (3, 16))
-    sig_d = ed25519.sign(priv_d, msgs)
+    sig_d = jax.jit(ed25519.sign)(priv_d, msgs)
     for i, s in enumerate(seeds):
         pk_w, priv_w = rm.ed_keypair(s)
         assert bytes(np.asarray(pk_d[i]).tolist()) == pk_w

@@ -2,6 +2,7 @@
 selftest's mod-BPO identities (test/curve25519_selftest.c:657-714)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -96,6 +97,7 @@ def test_montgomery_form():
     assert unpack(ab_mont) == unpack(sc.to_mont(direct))
 
 
+@pytest.mark.slow
 def test_exp_mod_bpo():
     """x^E mod l with runtime little-endian byte exponents (reference
     eco_ExpModBPO): Fermat x^(l-1) = 1, x^1 = x, and inv equivalence

@@ -87,6 +87,7 @@ def test_edwards_mixed_form_consistency():
     assert _affine_ints(r1) == expect
 
 
+@pytest.mark.slow
 def test_dual_point_multiply_identity():
     """v*G + u*(-A) == identity for v = u^2, A = u*G — the reference's
     dual-point-multiply law (selftest :969-983), exercised through the

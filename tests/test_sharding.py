@@ -46,6 +46,7 @@ def test_mixed_pipeline_psum_counters(cpu_mesh):
     assert shared.sharding.spec == jax.sharding.PartitionSpec("dp")
 
 
+@pytest.mark.slow
 def test_sharded_wrapper_matches_single_device(cpu_mesh):
     """pmesh.sharded: per-shard execution of sign must equal the global
     batched call (lane-local semantics)."""
