@@ -15,7 +15,7 @@ import time
 
 import numpy as np
 
-__all__ = ["bench", "trace", "Counter", "timed"]
+__all__ = ["bench", "trace", "trace_summary", "Counter", "timed"]
 
 
 def bench(fn, *args, reps=8, rounds=3, warmup=True):
@@ -55,13 +55,44 @@ def jax_leaf(tree):
 @contextlib.contextmanager
 def trace(logdir="/tmp/curve25519_tpu_trace"):
     """jax.profiler trace context — open the result in XProf/Perfetto.
-    TPU-native replacement for rdtscp cycle windows."""
+    TPU-native replacement for rdtscp cycle windows. Works through the axon
+    tunnel (verified round 3; an earlier hang was environmental) — pair
+    with trace_summary() for in-terminal kernel attribution."""
     import jax
     jax.profiler.start_trace(logdir)
     try:
         yield logdir
     finally:
         jax.profiler.stop_trace()
+
+
+def trace_summary(logdir, prefix=None):
+    """Aggregate the newest trace under `logdir` into
+    {event_name: {"total_us": float, "count": int}}, most-expensive first.
+
+    Device kernel events carry the pallas_call/HLO name (e.g.
+    "ladder_tiled.1"); `prefix` filters to names starting with it. This is
+    the scriptable slice of what XProf's timeline shows — enough to
+    attribute per-kernel device time without a UI."""
+    import glob
+    import gzip
+
+    paths = sorted(glob.glob(
+        f"{logdir}/plugins/profile/*/*.trace.json.gz"))
+    if not paths:
+        raise FileNotFoundError(f"no trace under {logdir}")
+    events = json.loads(gzip.open(paths[-1]).read().decode())["traceEvents"]
+    agg = {}
+    for e in events:
+        if e.get("ph") != "X" or "dur" not in e:
+            continue
+        name = e.get("name", "?")
+        if prefix is not None and not name.startswith(prefix):
+            continue
+        d = agg.setdefault(name, {"total_us": 0.0, "count": 0})
+        d["total_us"] += e["dur"]
+        d["count"] += 1
+    return dict(sorted(agg.items(), key=lambda kv: -kv[1]["total_us"]))
 
 
 class Counter:
