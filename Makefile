@@ -41,6 +41,10 @@ bench:
 bench-all:
 	$(PY) benchmarks/bench_suite.py
 
+# per-kernel device timelines via jax.profiler (KERNEL_TRACE artifacts)
+bench-trace:
+	$(PY) benchmarks/trace_kernels.py
+
 clean:
 	rm -f curve25519_tpu/native/libref25519.so
 	find . -name __pycache__ -type d -exec rm -rf {} +
