@@ -151,19 +151,20 @@ def sign(priv, msg, msg_len=None, blinding=None):
     a = fe.from_bytes(codec.clamp(md[..., :32]))
     prefix = md[..., 32:]
 
-    # r = H(prefix || m) mod l
-    rmsg = jnp.concatenate([jnp.broadcast_to(prefix, batch + (32,)), msg], -1)
-    r = sc.from_digest(sha512(rmsg, 32 + msg_len))
+    # r = H(prefix || m) mod l — the fixed 32-byte header rides the
+    # sha512 `prefix` argument (word-domain assembly on TPU, PERF.md §5)
+    r = sc.from_digest(sha512(
+        msg, msg_len, prefix=jnp.broadcast_to(prefix, batch + (32,))))
 
     # R = r*G
     rx, ry = _affine_base_mult(r, blinding)
     R_bytes = _pack(rx, ry)
 
     # S = r + H(enc(R) || pk || m) * a  mod l
-    hmsg = jnp.concatenate([
+    hpfx = jnp.concatenate([
         jnp.broadcast_to(R_bytes, batch + (32,)),
-        jnp.broadcast_to(priv[..., 32:64], batch + (32,)), msg], -1)
-    h = sc.from_digest(sha512(hmsg, 64 + msg_len))
+        jnp.broadcast_to(priv[..., 32:64], batch + (32,))], -1)
+    h = sc.from_digest(sha512(msg, msg_len, prefix=hpfx))
     s = sc.muladd(h, sc.mod(a), r)
     return jnp.concatenate([jnp.broadcast_to(R_bytes, batch + (32,)),
                             sc.to_bytes(s)], axis=-1)
@@ -269,11 +270,11 @@ def verify_check(ctx, sig, msg, msg_len=None, strict=False):
     if msg_len is None:
         msg_len = jnp.full(batch, L, jnp.int32)
 
-    hmsg = jnp.concatenate([
+    hpfx = jnp.concatenate([
         jnp.broadcast_to(sig[..., :32], batch + (32,)),
-        jnp.broadcast_to(ctx["pk"], batch + (32,)),
-        jnp.broadcast_to(msg, batch + (L,))], -1)
-    h = sc.from_digest(sha512(hmsg, 64 + msg_len))
+        jnp.broadcast_to(ctx["pk"], batch + (32,))], -1)
+    h = sc.from_digest(sha512(
+        jnp.broadcast_to(msg, batch + (L,)), msg_len, prefix=hpfx))
 
     s_bits = codec.scalar_bits(sig[..., 32:])
     h_bits = codec.scalar_bits(sc.to_bytes(h))

@@ -224,22 +224,45 @@ def sha512_blocks_tiled(w_t, nb_t, nblocks, chunk=None, interpret=False):
     )(w_t, nb_t, h0, jnp.asarray(sha_jnp._K_HL))
 
 
-def _pack_words(msg, length):
-    """FIPS 180-4 padding in the uint32-word domain.
-
-    msg: [B, L] uint8; length: [B] int32. Returns (words [B, nb*32] uint32
-    big-endian halves in (block, word, hi/lo) order, nblocks [B] int32, nb)."""
-    b, max_len = msg.shape
-    nb = sha_jnp._nblocks_static(max_len)
-    total = nb * sha_jnp.BLOCK_LEN
-    nw = nb * 32                                   # uint32 half-words
-
-    data = jnp.zeros((b, total), dtype=jnp.uint8).at[:, :max_len].set(msg)
-    raw = jnp.sum(
-        data.reshape(b, nw, 4).astype(jnp.uint32)
+def _pack4(x):
+    """[B, 4k] uint8 -> [B, k] uint32 big-endian words."""
+    b = x.shape[0]
+    return jnp.sum(
+        x.reshape(b, x.shape[-1] // 4, 4).astype(jnp.uint32)
         * jnp.asarray([1 << 24, 1 << 16, 1 << 8, 1], jnp.uint32), axis=-1)
 
-    # bytes of message remaining at each word: r >= 4 keep, r < 0 zero,
+
+def _pack_words(msg, length, prefix=None):
+    """FIPS 180-4 padding in the uint32-word domain.
+
+    msg: [B, L] uint8; length: [B] int32 — bytes of msg that are live.
+    prefix: optional [B, P] uint8 (P % 4 == 0, all P bytes live) logically
+    prepended to every message. Passing it here instead of concatenating
+    byte tensors keeps the big buffers in the u32 word domain: uint8
+    concat/pad ops relayout on TPU and were the dominant non-kernel cost
+    of the sign path (PERF.md §5, trace evidence). Returns (words
+    [B, nb*32] uint32 big-endian halves in (block, word, hi/lo) order,
+    nblocks [B] int32, nb)."""
+    b, max_len = msg.shape
+    plen = 0 if prefix is None else prefix.shape[-1]
+    assert plen % 4 == 0, "prefix length must be word-aligned"
+    nb = sha_jnp._nblocks_static(max_len + plen)
+    nw = nb * 32                                   # uint32 half-words
+    length = length + plen                         # full-stream byte length
+
+    # raw big-endian word view of prefix || msg || zeros — built by word
+    # concatenation (the mask below zeroes any garbage past `length`)
+    max4 = (max_len + 3) // 4 * 4
+    msg4 = msg if max4 == max_len else jnp.concatenate(
+        [msg, jnp.zeros((b, max4 - max_len), jnp.uint8)], axis=-1)
+    parts = [] if prefix is None else [_pack4(prefix)]
+    parts.append(_pack4(msg4))
+    tail = nw - plen // 4 - max4 // 4
+    if tail > 0:
+        parts.append(jnp.zeros((b, tail), jnp.uint32))
+    raw = jnp.concatenate(parts, axis=-1)[:, :nw]
+
+    # bytes of stream remaining at each word: r >= 4 keep, r < 0 zero,
     # 0 <= r < 4 keep top r bytes and place the 0x80 marker at byte r
     widx = jnp.arange(nw, dtype=jnp.int32)
     r = length[:, None] - 4 * widx
@@ -268,13 +291,15 @@ def _pack_words(msg, length):
     return words, nblocks, nb
 
 
-def sha512_pallas(msg, length=None, interpret=False, chunk=None):
+def sha512_pallas(msg, length=None, interpret=False, chunk=None,
+                  prefix=None):
     """Batched SHA-512 via the Pallas compression kernel; same semantics as
     ops.sha512.sha512 for [..., L] uint8 batches (any batch shape — leading
     axes are flattened and restored; rank-1 single messages cost one padded
-    tile). Message length is bounded by HBM and the int32 length field
-    (< 2^31 bytes), not VMEM — the kernel streams `chunk` blocks per grid
-    step."""
+    tile). `prefix` ([..., P] uint8, P % 4 == 0, fully live) is logically
+    prepended to each message in the word domain — see _pack_words.
+    Message length is bounded by HBM and the int32 length field (< 2^31
+    bytes), not VMEM — the kernel streams `chunk` blocks per grid step."""
     from curve25519_tpu.ops.pallas import flatten_batch
 
     msg = jnp.asarray(msg, dtype=jnp.uint8)
@@ -287,8 +312,12 @@ def sha512_pallas(msg, length=None, interpret=False, chunk=None):
     else:
         length = jnp.broadcast_to(
             jnp.asarray(length, dtype=jnp.int32), batch).reshape(b)
+    if prefix is not None:
+        prefix = jnp.broadcast_to(
+            jnp.asarray(prefix, jnp.uint8),
+            batch + prefix.shape[-1:]).reshape(b, prefix.shape[-1])
 
-    words, nblocks, nb = _pack_words(msg, length)  # [B, nb*32]
+    words, nblocks, nb = _pack_words(msg, length, prefix)  # [B, nb*32]
 
     bpad = ((b + ft.TILE_BATCH - 1) // ft.TILE_BATCH) * ft.TILE_BATCH
     g = bpad // ft.TILE_BATCH

@@ -181,7 +181,7 @@ def _pad_and_pack(msg, length):
     return words, nblocks, nb
 
 
-def sha512(msg, length=None):
+def sha512(msg, length=None, prefix=None):
     """Batched SHA-512.
 
     msg: ``[..., L]`` uint8 tensor (L static). length: ``[...]`` int32 actual
@@ -189,13 +189,24 @@ def sha512(msg, length=None):
     digests. Messages shorter than L are padded per FIPS 180-4 using masks;
     blocks past a message's end leave its hash state untouched.
 
+    prefix: optional ``[..., P]`` uint8 (P static, P % 4 == 0, all P bytes
+    live) logically prepended to every message — hash(prefix || msg). The
+    protocol layers pass their fixed-size headers (Ed25519's key prefix /
+    enc(R) || pk) this way so the TPU path can assemble the stream in the
+    u32 word domain instead of concatenating uint8 tensors (byte-domain
+    concat/pad ops relayout on TPU — the dominant non-kernel cost of the
+    sign path before this, PERF.md §5).
+
     Flat TPU batches >= 1024 route through the Pallas compression kernel
     (ops/pallas/sha512_kernel.py); the jnp path below is the portable
     implementation with identical semantics.
     """
     msg = jnp.asarray(msg, dtype=jnp.uint8)
-    max_len = msg.shape[-1]
     batch_shape = msg.shape[:-1]
+    if prefix is not None:
+        prefix = jnp.asarray(prefix, dtype=jnp.uint8)
+        batch_shape = jnp.broadcast_shapes(batch_shape, prefix.shape[:-1])
+    max_len = msg.shape[-1]
     if length is None:
         length = jnp.full(batch_shape, max_len, dtype=jnp.int32)
     else:
@@ -204,7 +215,18 @@ def sha512(msg, length=None):
     from curve25519_tpu.ops.pallas import use_pallas
     if use_pallas(batch_shape):
         from curve25519_tpu.ops.pallas import sha512_kernel
-        return sha512_kernel.sha512_pallas(msg, length)
+        return sha512_kernel.sha512_pallas(
+            jnp.broadcast_to(msg, batch_shape + (max_len,)), length,
+            prefix=prefix)
+
+    if prefix is not None:
+        # portable path: plain byte concatenation, identical semantics
+        plen = prefix.shape[-1]
+        msg = jnp.concatenate(
+            [jnp.broadcast_to(prefix, batch_shape + (plen,)),
+             jnp.broadcast_to(msg, batch_shape + (max_len,))], axis=-1)
+        max_len += plen
+        length = length + plen
 
     words, nblocks, nb = _pad_and_pack(msg, length)
 
