@@ -46,6 +46,12 @@ class Oracle:
         return (self._nb.ed25519_sign(priv, msg) if self._nb
                 else self._rm.ed_sign(priv, msg))
 
+    def ed_verify(self, sig, pk, msg):
+        if self._nb:
+            return self._nb.ed25519_verify(sig, pk, msg)
+        from curve25519_tpu import refmodel
+        return refmodel.ed_verify(sig, pk, msg)
+
     def sha512(self, msg):
         return hashlib.sha512(msg).digest()
 

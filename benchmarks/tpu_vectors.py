@@ -1,0 +1,210 @@
+"""Run the adversarial/edge vector corpus through the COMPILED Mosaic
+kernels on the real TPU and commit the agreement tally as an artifact.
+
+The CPU test suite exercises every kernel in interpret mode only
+(tests/conftest.py pins the CPU backend); on hardware the bench gates check
+a few random lanes. This driver closes the remaining gap (VERDICT r3 weak
+#3): the inputs most likely to expose a Mosaic-vs-interpret divergence —
+non-canonical y, x = 0 with sign bit, small-order points, malleable S, the
+RFC 7748/8032 known-answer vectors, extreme seeds, and an algebraic
+selftest identity (l*G = identity) — are pushed through the compiled
+verify/base-mult/ladder/SHA kernels and compared against the host oracles
+(python big-int refmodel, native C++ core, hashlib).
+
+Policy anchor: the reference refuses to benchmark until donna agrees
+(test/curve25519_test.c:143-154); this extends the same demand to edge
+inputs on the production backend.
+
+Usage: python benchmarks/tpu_vectors.py [--out TPU_VECTORS_r04.json]
+Writes one JSON artifact; exits non-zero on ANY disagreement.
+"""
+
+import argparse
+import hashlib
+import json
+import os
+import sys
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+sys.path.insert(0, os.path.join(ROOT, "tests"))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="TPU_VECTORS_r04.json")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    if os.environ.get("CURVE25519_TPU_VECTORS_CPU") == "1":
+        # smoke mode for hosts without the chip (jnp path, not Mosaic)
+        jax.config.update("jax_default_device", jax.devices("cpu")[0])
+    backend = jax.devices()[0].platform
+    if os.environ.get("CURVE25519_TPU_VECTORS_CPU") == "1":
+        backend = "cpu"
+    from curve25519_tpu import refmodel as rm
+    from curve25519_tpu.config import ELL
+    from curve25519_tpu.models import ed25519, x25519
+    from curve25519_tpu.ops import fold
+    from curve25519_tpu.ops.sha512 import sha512
+    import test_edge_encodings as tev       # the frozen vector corpus
+
+    groups = {}
+    failures = []
+
+    def tally(group, name, ok):
+        g = groups.setdefault(group, {"pass": 0, "fail": 0})
+        if ok:
+            g["pass"] += 1
+        else:
+            g["fail"] += 1
+            failures.append(f"{group}:{name}")
+
+    # --- 1. adversarial Ed25519 encodings through the compiled verify
+    # kernels (q_table build + poly multiply), both semantics ---------------
+    pks = jnp.asarray(np.stack([np.frombuffer(v[1], np.uint8)
+                                for v in tev.VECTORS]))
+    sigs = jnp.asarray(np.stack([np.frombuffer(v[2], np.uint8)
+                                 for v in tev.VECTORS]))
+    msgs = jnp.asarray(np.stack([np.frombuffer(v[3], np.uint8)
+                                 for v in tev.VECTORS]))
+    jv = jax.jit(ed25519.verify, static_argnames=("strict",))
+    for strict in (False, True):
+        got = np.asarray(jv(sigs, pks, msgs, strict=strict))
+        for i, (name, pk, sig, msg, ns, st) in enumerate(tev.VECTORS):
+            want = st if strict else ns
+            # want is frozen AND re-derived from the inline big-int oracle
+            assert tev.oracle_verify(sig, pk, msg, strict=strict) == want
+            tally(f"edge_verify_{'strict' if strict else 'nonstrict'}",
+                  name, bool(got[i]) == want)
+
+    # --- 2. RFC 8032 vectors: keygen + sign + verify on the chip ----------
+    from test_ed25519 import VECS as RFC8032     # hex (sk, pk, msg, sig)
+    vec = [(bytes.fromhex(a), bytes.fromhex(b), bytes.fromhex(c),
+            bytes.fromhex(d)) for a, b, c, d in RFC8032]
+    seeds = jnp.asarray(np.stack(
+        [np.frombuffer(v[0], np.uint8) for v in vec]))
+    pk_d, priv_d = jax.jit(ed25519.create_keypair)(seeds)
+    maxlen = max(len(v[2]) for v in vec)
+    m = np.zeros((len(vec), max(1, maxlen)), np.uint8)
+    ln = np.zeros(len(vec), np.int32)
+    for i, v in enumerate(vec):
+        m[i, :len(v[2])] = np.frombuffer(v[2], np.uint8)
+        ln[i] = len(v[2])
+    sig_d = jax.jit(ed25519.sign)(priv_d, jnp.asarray(m), jnp.asarray(ln))
+    ok_d = np.asarray(jax.jit(ed25519.verify)(
+        sig_d, pk_d, jnp.asarray(m), jnp.asarray(ln)))
+    for i, (sk, pk, msg, sig) in enumerate(vec):
+        tally("rfc8032", f"v{i}-pk",
+              bytes(np.asarray(pk_d[i]).tolist()) == pk)
+        tally("rfc8032", f"v{i}-sig",
+              bytes(np.asarray(sig_d[i]).tolist()) == sig)
+        tally("rfc8032", f"v{i}-verify", bool(ok_d[i]))
+
+    # --- 3. RFC 7748 + edge u-coordinates through the ladder kernel -------
+    import test_x25519 as tx
+    sk12 = jnp.asarray(np.stack(
+        [np.frombuffer(bytes.fromhex(tx.A_SK), np.uint8),
+         np.frombuffer(bytes.fromhex(tx.B_SK), np.uint8)]))
+    pk_got = np.asarray(jax.jit(x25519.calculate_public_key)(sk12))
+    tally("rfc7748", "pkA", bytes(pk_got[0].tolist()).hex() == tx.A_PK)
+    tally("rfc7748", "pkB", bytes(pk_got[1].tolist()).hex() == tx.B_PK)
+    sh = np.asarray(jax.jit(x25519.create_shared_key)(
+        jnp.asarray(np.stack(
+            [np.frombuffer(bytes.fromhex(tx.B_PK), np.uint8),
+             np.frombuffer(bytes.fromhex(tx.A_PK), np.uint8)])), sk12))
+    tally("rfc7748", "sharedA", bytes(sh[0].tolist()).hex() == tx.SHARED)
+    tally("rfc7748", "sharedB", bytes(sh[1].tolist()).hex() == tx.SHARED)
+    # §5.2 single-scalar vectors
+    u52 = jnp.asarray(np.stack(
+        [np.frombuffer(bytes.fromhex(tx.V1_U), np.uint8),
+         np.frombuffer(bytes.fromhex(tx.V2_U), np.uint8)]))
+    k52 = jnp.asarray(np.stack(
+        [np.frombuffer(bytes.fromhex(tx.V1_K), np.uint8),
+         np.frombuffer(bytes.fromhex(tx.V2_K), np.uint8)]))
+    o52 = np.asarray(jax.jit(x25519.create_shared_key)(u52, k52))
+    tally("rfc7748", "s5.2-v1", bytes(o52[0].tolist()).hex() == tx.V1_OUT)
+    tally("rfc7748", "s5.2-v2", bytes(o52[1].tolist()).hex() == tx.V2_OUT)
+
+    from curve25519_tpu.config import P
+    sk7 = b"\x07" * 32
+    ucases = [0, 1, P, P + 1, 2 ** 255 - 1, 1 | 1 << 255]
+    peers = jnp.asarray(np.stack(
+        [np.frombuffer(u.to_bytes(32, "little"), np.uint8) for u in ucases]))
+    sks = jnp.broadcast_to(jnp.asarray(np.frombuffer(sk7, np.uint8)),
+                           (len(ucases), 32))
+    got_u = np.asarray(jax.jit(x25519.create_shared_key)(peers, sks))
+    for i, u in enumerate(ucases):
+        want = rm.x25519(sk7, u.to_bytes(32, "little"))
+        tally("x25519_edge_u", f"u={hex(u)[:14]}",
+              bytes(got_u[i].tolist()) == want)
+
+    # --- 4. extreme seeds: keygen + sign through the folding kernel -------
+    eseeds = [bytes(32), b"\xff" * 32, bytes(range(32))]
+    arr = jnp.asarray(np.stack([np.frombuffer(s, np.uint8) for s in eseeds]))
+    pk_e, priv_e = jax.jit(ed25519.create_keypair)(arr)
+    msg16 = jnp.broadcast_to(
+        jnp.asarray(np.frombuffer(tev.MSG, np.uint8)), (3, 16))
+    sig_e = jax.jit(ed25519.sign)(priv_e, msg16)
+    for i, s in enumerate(eseeds):
+        pk_w, priv_w = rm.ed_keypair(s)
+        tally("extreme_seeds", f"pk{i}",
+              bytes(np.asarray(pk_e[i]).tolist()) == pk_w)
+        tally("extreme_seeds", f"sig{i}",
+              bytes(np.asarray(sig_e[i]).tolist()) == rm.ed_sign(priv_w,
+                                                                 tev.MSG))
+
+    # --- 5. selftest identity through the compiled base-mult kernel -------
+    # l*G = identity and (l-1)*G = -G (reference selftest :752-767)
+    from curve25519_tpu.ops.pallas import edwards_kernel as ek
+    from curve25519_tpu.ops import fe
+    kb = jnp.asarray(np.stack([
+        np.frombuffer(int(k).to_bytes(32, "little"), np.uint8)
+        for k in (ELL, ELL - 1)]))
+    x_t, y_t = ek.base_mult_pallas(fold.cut8_bytes(kb), mode="affine",
+                                   interpret=(backend == "cpu"))
+    xb = np.asarray(fe.to_bytes(x_t))
+    yb = np.asarray(fe.to_bytes(y_t))
+    idx, idy = rm.IDENTITY
+    gx, gy = rm.BASE
+    tally("selftest_identity", "l*G",
+          bytes(xb[0]) == idx.to_bytes(32, "little")
+          and bytes(yb[0]) == idy.to_bytes(32, "little"))
+    tally("selftest_identity", "(l-1)*G",
+          bytes(xb[1]) == (P - gx).to_bytes(32, "little")
+          and bytes(yb[1]) == gy.to_bytes(32, "little"))
+
+    # --- 6. SHA-512 padding edges through the compiled kernel -------------
+    lens = [0, 1, 111, 112, 127, 128, 129, 200]
+    r = np.random.default_rng(13)
+    mm = r.integers(0, 256, (len(lens), 200), dtype=np.uint8)
+    got = np.asarray(jax.jit(sha512)(
+        jnp.asarray(mm), jnp.asarray(lens, jnp.int32)))
+    for i, n in enumerate(lens):
+        want = hashlib.sha512(mm[i, :n].tobytes()).digest()
+        tally("sha512_edges", f"len={n}", bytes(got[i].tolist()) == want)
+
+    total_pass = sum(g["pass"] for g in groups.values())
+    total_fail = sum(g["fail"] for g in groups.values())
+    record = {
+        "backend": backend,
+        "compiled_kernels": backend != "cpu",
+        "groups": groups,
+        "total": {"pass": total_pass, "fail": total_fail},
+        "failures": failures,
+        "oracles": ["python-refmodel", "inline-bigint", "hashlib",
+                    "frozen-vector-expectations"],
+    }
+    with open(os.path.join(ROOT, args.out), "w") as f:
+        json.dump(record, f, indent=1)
+    print(json.dumps(record["total"]))
+    print(f"wrote {args.out} (backend={backend})")
+    return 1 if total_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -56,14 +56,17 @@ def main():
     sig = ed25519.sign(priv, msg, mlen)
     ctx = ed25519.verify_init(pk)
 
+    # ctx as traced args (a closure-constant q_table bloats the HLO)
+    fvc = jax.jit(lambda planes, ok, pkb, s, m, l: ed25519.verify_check(
+        {"pk": pkb, "planes": planes, "ok": ok}, s, m, l))
+
     ops = {
         "x25519_shared_secret": (jax.jit(x25519.create_shared_key),
                                  (peer, sk)),
         "x25519_public_key_fast": (jax.jit(x25519.calculate_public_key_fast),
                                    (sk,)),
         "ed25519_verify_check": (
-            jax.jit(lambda s, m, l: ed25519.verify_check(ctx, s, m, l)),
-            (sig, msg, mlen)),
+            fvc, (ctx["planes"], ctx["ok"], ctx["pk"], sig, msg, mlen)),
         "ed25519_verify_init": (jax.jit(ed25519.verify_init), (pk,)),
         "sha512_64b": (jax.jit(sha512), (msg, mlen)),
     }
@@ -91,6 +94,42 @@ def main():
             "batch": B,
             "kernel_ops_per_s": round(
                 B / (us_per_call * calls_per_dispatch * 1e-6), 1),
+        }), flush=True)
+
+    # ---- end-to-end glue attribution (VERDICT r3 item 1's "done" gate):
+    # for each whole protocol op, total DEVICE time per dispatch vs the
+    # Pallas-kernel share of it; the difference is inter-kernel glue
+    # (codecs, relayouts, fusions) running on-device between kernels.
+    KNOWN = ("ladder_tiled", "base_mult_tiled", "poly_mult_tiled",
+             "verify_init_tiled", "sha512_blocks_tiled")
+    e2e = {
+        "ed25519_keygen": (jax.jit(ed25519.create_keypair), (sk,)),
+        "ed25519_sign": (jax.jit(ed25519.sign), (priv, msg, mlen)),
+        "ed25519_verify_oneshot": (jax.jit(ed25519.verify),
+                                   (sig, pk, msg, mlen)),
+        "x25519_shared_secret_e2e": (jax.jit(x25519.create_shared_key),
+                                     (peer, sk)),
+    }
+    for name, (fn, a) in e2e.items():
+        np.asarray(profiling.jax_leaf(fn(*a)))
+        logdir = f"{args.logdir}/e2e_{name}"
+        shutil.rmtree(logdir, ignore_errors=True)
+        with profiling.trace(logdir):
+            for _ in range(reps):
+                r = fn(*a)
+            np.asarray(profiling.jax_leaf(r))
+        dev = profiling.trace_device_events(logdir)
+        total = sum(d["total_us"] for d in dev.values())
+        kern = sum(d["total_us"] for k, d in dev.items()
+                   if k.startswith(KNOWN))
+        print(json.dumps({
+            "metric": f"trace_e2e:{name}", "batch": B,
+            "device_ms_per_dispatch": round(total / reps / 1e3, 3),
+            "kernel_ms_per_dispatch": round(kern / reps / 1e3, 3),
+            "glue_ms_per_dispatch": round((total - kern) / reps / 1e3, 3),
+            "glue_share": round((total - kern) / total, 4) if total else None,
+            "device_ops_per_s": round(B / (total / reps * 1e-6), 1)
+            if total else None,
         }), flush=True)
 
 

@@ -87,37 +87,39 @@ def _base_mult_blinded(a_limbs, blinding):
     (reference edp_BasePointMultiply, ed25519_sign.c:246-268)."""
     if blinding is not None:
         t = sc.add(sc.mod(a_limbs), blinding["bl"])
-        bits = codec.scalar_bits(sc.to_bytes(t))
-        s = edwards.base_point_mult(bits, zr=blinding["zr"])
+        s = edwards.base_point_mult(fold.cut8_limbs(t), zr=blinding["zr"])
         s = edwards.add_pe(s, blinding["bp"])
     else:
         from curve25519_tpu.models.blinding import default_zr
-        s = edwards.base_point_mult(_bits_of_limbs(a_limbs),
+        s = edwards.base_point_mult(fold.cut8_limbs(a_limbs),
                                     zr=default_zr(a_limbs.shape[:-1]))
     return s
 
 
-def _bits_of_limbs(a_limbs):
-    """Limb tensor (< 2^256) -> [..., 256] bits."""
-    shifts = jnp.arange(13, dtype=jnp.int32)
-    bits = (a_limbs[..., :, None] >> shifts) & 1
-    return bits.reshape(bits.shape[:-2] + (NLIMBS * 13,))[..., :256]
-
-
-def _affine_base_mult(a_limbs, blinding):
+def _base_mult_pk(a_limbs, blinding):
+    """enc(a*G) — compressed point bytes [..., 32] (with optional blinding:
+    enc((a + bl)*G + BP)). a_limbs must be NORMALIZED limbs (fe.from_bytes
+    outputs / canonical sc values). The Pallas path extracts the fold digits
+    straight from the limbs and packs the point IN-KERNEL, so nothing but
+    bytes crosses the kernel boundary (the r3 glue fix); the portable path
+    is the jnp twin with identical output."""
     from curve25519_tpu.ops.pallas import use_pallas
+    if blinding is not None:
+        t = sc.add(sc.mod(a_limbs), blinding["bl"])
+        cut = fold.cut8_limbs(t)
+    else:
+        cut = fold.cut8_limbs(a_limbs)
     if use_pallas(a_limbs.shape[:-1]):
+        from curve25519_tpu.models.blinding import default_zr
         from curve25519_tpu.ops.pallas import edwards_kernel
         if blinding is not None:
-            t = sc.add(sc.mod(a_limbs), blinding["bl"])
             return edwards_kernel.base_mult_pallas(
-                codec.scalar_bits(sc.to_bytes(t)), zr=blinding["zr"],
-                bp=blinding["bp"], mode="affine")
-        from curve25519_tpu.models.blinding import default_zr
-        return edwards_kernel.base_mult_pallas(
-            _bits_of_limbs(a_limbs), zr=default_zr(), mode="affine")
+                cut, zr=blinding["zr"], bp=blinding["bp"], mode="pk")
+        return edwards_kernel.base_mult_pallas(cut, zr=default_zr(),
+                                               mode="pk")
     s = _base_mult_blinded(a_limbs, blinding)
-    return edwards.to_affine(s)
+    x, y = edwards.to_affine(s)
+    return _pack(x, y)
 
 
 # ---------------------------------------------------------------------------
@@ -130,8 +132,7 @@ def create_keypair(sk, blinding=None):
     md = sha512(sk)                              # [..., 64]
     a_bytes = codec.clamp(md[..., :32])
     a = fe.from_bytes(a_bytes)
-    x, y = _affine_base_mult(a, blinding)
-    pk = _pack(x, y)
+    pk = _base_mult_pk(a, blinding)
     priv = jnp.concatenate([sk, pk], axis=-1)
     return pk, priv
 
@@ -157,8 +158,7 @@ def sign(priv, msg, msg_len=None, blinding=None):
         msg, msg_len, prefix=jnp.broadcast_to(prefix, batch + (32,))))
 
     # R = r*G
-    rx, ry = _affine_base_mult(r, blinding)
-    R_bytes = _pack(rx, ry)
+    R_bytes = _base_mult_pk(r, blinding)
 
     # S = r + H(enc(R) || pk || m) * a  mod l
     hpfx = jnp.concatenate([
@@ -189,7 +189,9 @@ def verify_init(pk):
         y_bytes, parity = codec.unpack_parity(pk)
         arr, ok = verify_kernel.verify_init_pallas(
             fe.from_bytes(y_bytes), 1 - parity)
-        return {"pk": pk, "planes": tables.pe_planes_from_array(arr),
+        # the kernel canonicalizes in-kernel; only the elementwise int8
+        # split remains outside
+        return {"pk": pk, "planes": tables.pe_planes_from_canonical(arr),
                 "ok": ok}
 
     q, ok = unpack_point(pk, negate=True)
@@ -222,13 +224,10 @@ def verify_init(pk):
     return {"pk": pk, "planes": tables.pe_planes_from_array(arr), "ok": ok}
 
 
-def _poly_point_multiply(s_bits, h_bits, planes):
-    """R' = s*G + h*(-Q): 8-folds of s against the base table interleaved
-    with 4-folds of h against the per-key q_table.
+def _poly_point_multiply(u, v, planes):
+    """R' = s*G + h*(-Q): 8-fold digits u of s against the base table
+    interleaved with 4-fold digits v of h against the per-key q_table.
     Reference edp_PolyPointMultiply (ed25519_verify.c:243-280)."""
-    u = fold.cut8(s_bits)                        # [..., 32]
-    v = fold.cut4(h_bits)                        # [..., 64]
-
     q0 = tables.gather_pe(v[..., 0], planes)
     x = fe.sub(q0["ypx"], q0["ymx"])
     y = fe.add(q0["ypx"], q0["ymx"])
@@ -276,8 +275,10 @@ def verify_check(ctx, sig, msg, msg_len=None, strict=False):
     h = sc.from_digest(sha512(
         jnp.broadcast_to(msg, batch + (L,)), msg_len, prefix=hpfx))
 
-    s_bits = codec.scalar_bits(sig[..., 32:])
-    h_bits = codec.scalar_bits(sc.to_bytes(h))
+    # fold digits straight from the encodings: s from the signature bytes,
+    # h from its canonical limbs — no bit-tensor/byte round-trips
+    u = fold.cut8_bytes(sig[..., 32:])
+    v = fold.cut4_limbs(h)
     from curve25519_tpu.ops.pallas import use_pallas
     if use_pallas(batch):
         from curve25519_tpu.ops.pallas import verify_kernel
@@ -287,12 +288,14 @@ def verify_check(ctx, sig, msg, msg_len=None, strict=False):
         planes = ctx["planes"]
         if planes.ndim != 2:
             planes = jnp.broadcast_to(planes, batch + planes.shape[-2:])
-        rx, ry = verify_kernel.poly_mult_pallas(
-            jnp.broadcast_to(s_bits, batch + (256,)),
-            jnp.broadcast_to(h_bits, batch + (256,)), planes)
+        r_bytes = verify_kernel.poly_mult_pallas(
+            jnp.broadcast_to(u, batch + (32,)),
+            jnp.broadcast_to(v, batch + (64,)), planes)
     else:
-        rx, ry = _poly_point_multiply(s_bits, h_bits, ctx["planes"])
-    r_bytes = _pack(rx, ry)
+        rx, ry = _poly_point_multiply(
+            jnp.broadcast_to(u, batch + (32,)),
+            jnp.broadcast_to(v, batch + (64,)), ctx["planes"])
+        r_bytes = _pack(rx, ry)
 
     match = jnp.all(r_bytes == sig[..., :32], axis=-1)
     result = jnp.logical_and(match, ctx["ok"])
@@ -394,7 +397,7 @@ def verify_tablefree(sig, pk, msg, msg_len=None, strict=False):
 # ---------------------------------------------------------------------------
 _sign_jit = None
 _sign_blinded_jit = None
-_verify_jit = None
+_vcheck_jit = None
 
 
 def sign_ragged(priv, msgs, blinding=None):
@@ -420,19 +423,36 @@ def sign_ragged(priv, msgs, blinding=None):
         lambda m, l, p: _sign_blinded_jit(m, l, p, blinding), msgs, priv)
 
 
-def verify_ragged(sig, pk, msgs, strict=False):
-    """Verify a ragged batch: sig [N, 64], pk [N, 32] (or broadcastable),
-    msgs a list of bytes-like objects. Returns [N] bool in input order."""
-    global _verify_jit
+def verify_ragged(sig, pk, msgs, strict=False, ctx=None):
+    """Verify a ragged batch: sig [N, 64]; pk [32] (one key) or [N, 32];
+    msgs a list of bytes-like objects. Returns [N] bool in input order.
+
+    Two-phase amortization (the point of the reference's Verify_Init/Check
+    split, ed25519_verify.c:179-232): `verify_init` runs EXACTLY ONCE for
+    the whole ragged batch — not once per length bucket — or ZERO times
+    when a precomputed `ctx` (from verify_init) is passed. A rank-1 pk (or
+    an unbatched ctx) keeps the shared-MXU-operand q_table fast path for
+    every bucket."""
+    global _vcheck_jit
     from curve25519_tpu.utils import bucketing
-    sig = jnp.broadcast_to(jnp.asarray(sig, jnp.uint8), (len(msgs), 64))
-    pk = jnp.broadcast_to(jnp.asarray(pk, jnp.uint8), (len(msgs), 32))
-    if _verify_jit is None:
-        _verify_jit = jax.jit(
-            lambda m, l, s, p, strict: verify(s, p, m, l, strict=strict),
-            static_argnums=(4,))
+    n = len(msgs)
+    sig = jnp.broadcast_to(jnp.asarray(sig, jnp.uint8), (n, 64))
+    if ctx is None:
+        ctx = verify_init(jnp.asarray(pk, jnp.uint8))
+    if _vcheck_jit is None:
+        _vcheck_jit = jax.jit(
+            lambda m, l, s, planes, ok, pkb, strict: verify_check(
+                {"pk": pkb, "planes": planes, "ok": ok}, s, m, l,
+                strict=strict),
+            static_argnums=(6,))
+    if ctx["planes"].ndim == 2:          # one pk shared by every bucket
+        return bucketing.apply_bucketed(
+            lambda m, l, s: _vcheck_jit(m, l, s, ctx["planes"], ctx["ok"],
+                                        ctx["pk"], strict), msgs, sig)
     return bucketing.apply_bucketed(
-        lambda m, l, s, p: _verify_jit(m, l, s, p, strict), msgs, sig, pk)
+        lambda m, l, s, planes, ok, pkb: _vcheck_jit(
+            m, l, s, planes, ok, pkb, strict),
+        msgs, sig, ctx["planes"], ctx["ok"], ctx["pk"])
 
 
 def verify_finish(ctx):

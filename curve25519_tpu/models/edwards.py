@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from curve25519_tpu.config import ED_DI, NLIMBS
-from curve25519_tpu.ops import fe, fold
+from curve25519_tpu.ops import fe
 from curve25519_tpu.models import tables
 
 __all__ = [
@@ -94,16 +94,16 @@ def to_affine(p):
     return fe.mul(p["x"], zi), fe.mul(p["y"], zi)
 
 
-def _base_mult_folded(bits, zr, cut_fn, gather_fn):
-    """Shared folded base-point multiply: cut the scalar bits into fold
-    digits, seed the accumulator from digit 0 with the randomized projective
-    start (2xR : 2yR : 2R : 2xyR), then scan (double + constant-time table
-    add) over the remaining digits. Parameterized by the cut/gather pair so
-    the 8-fold and 4-fold variants share one body (a bound or invariant fix
-    applies to both)."""
-    cut = cut_fn(bits)                          # [..., ndigits]
+def _base_mult_folded(cut, zr, gather_fn):
+    """Shared folded base-point multiply over precomputed fold digits: seed
+    the accumulator from digit 0 with the randomized projective start
+    (2xR : 2yR : 2R : 2xyR), then scan (double + constant-time table add)
+    over the remaining digits. Parameterized by the gather so the 8-fold and
+    4-fold variants share one body (a bound or invariant fix applies to
+    both). Digits come from fold.cut8_*/cut4_* — extracted straight from the
+    scalar's byte/limb encoding, no bit-tensor intermediate."""
     if zr is None:
-        zr = fe.one(bits.shape[:-1])
+        zr = fe.one(cut.shape[:-1])
 
     p0 = gather_fn(cut[..., 0])
     zr = fe.vary_like(zr, p0["ypx"])
@@ -124,19 +124,21 @@ def _base_mult_folded(bits, zr, cut_fn, gather_fn):
     return s
 
 
-def base_point_mult(bits, zr=None):
+def base_point_mult(cut, zr=None):
     """S = a*G via FOLDING-8: 31 x (double + constant-time table add).
 
-    bits: [..., 256] scalar bit tensor. zr: optional random field element for
-    the randomized projective start, reference edp_BasePointMult
-    (ed25519_sign.c:215-244). Returns an Ext point."""
-    return _base_mult_folded(bits, zr, fold.cut8, tables.gather_pa)
+    cut: [..., 32] 8-fold digits (fold.cut8_bytes / cut8_limbs of the
+    scalar). zr: optional random field element for the randomized projective
+    start, reference edp_BasePointMult (ed25519_sign.c:215-244). Returns an
+    Ext point."""
+    return _base_mult_folded(cut, zr, tables.gather_pa)
 
 
-def base_point_mult_fold4(bits, zr=None):
+def base_point_mult_fold4(cut, zr=None):
     """S = a*G via FOLDING-4: 63 x (double + constant-time table add) against
     the 16-entry folding4 table — the reference's smaller-table variant
     (ecp_4Folds, curve25519_utils.c:125-143; table generator
-    test/curve25519_selftest.c:455-497). Same semantics as base_point_mult;
-    trades 16x less table memory for 2x the loop length."""
-    return _base_mult_folded(bits, zr, fold.cut4, tables.gather_pa4)
+    test/curve25519_selftest.c:455-497). Same semantics as base_point_mult
+    over [..., 64] 4-fold digits (fold.cut4_*); trades 16x less table memory
+    for 2x the loop length."""
+    return _base_mult_folded(cut, zr, tables.gather_pa4)

@@ -24,6 +24,7 @@ from curve25519_tpu import refmodel
 __all__ = [
     "folding8_table", "folding8_planes", "folding4_table", "gather_pa",
     "gather_pa4", "gather_pe", "pe_planes_from_array",
+    "pe_planes_from_canonical",
 ]
 
 
@@ -126,7 +127,14 @@ def pe_planes_from_array(pe_array):
     first: the 7-bit plane split is exact only for values in [0, 2^14), and
     signed-weak limbs (ops/fe.py invariant) may be negative."""
     from curve25519_tpu.ops import fe
-    pe_array = fe.canon(pe_array)
+    return pe_planes_from_canonical(fe.canon(pe_array))
+
+
+def pe_planes_from_canonical(pe_array):
+    """Plane split for an ALREADY-CANONICAL PE table (e.g. the Pallas
+    Verify_Init kernel canonicalizes in-kernel) — the cheap elementwise
+    half of pe_planes_from_array, with no [.., NLIMBS] canon on the glue
+    path."""
     n = pe_array.shape[-3]
     flat = pe_array.reshape(pe_array.shape[:-3] + (n, 4 * NLIMBS))
     lo = (flat & 0x7F).astype(jnp.int8)

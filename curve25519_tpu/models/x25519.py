@@ -49,16 +49,17 @@ def calculate_public_key_fast(sk, zr=None, nfolds=8):
     reference's smaller-table build option (ecp_4Folds,
     curve25519_utils.c:125-143)."""
     from curve25519_tpu.models import edwards
+    from curve25519_tpu.ops import fold
     sk = codec.clamp(jnp.asarray(sk, dtype=jnp.uint8))
-    bits = codec.scalar_bits(sk)
+    cut = (fold.cut8_bytes if nfolds == 8 else fold.cut4_bytes)(sk)
     if _use_pallas(sk.shape[:-1]):
         from curve25519_tpu.ops.pallas import edwards_kernel
-        u, _ = edwards_kernel.base_mult_pallas(bits, zr=zr, mode="mont_u",
+        # enc(u) is packed in-kernel ("u_bytes"): no limb epilogue outside
+        return edwards_kernel.base_mult_pallas(cut, zr=zr, mode="u_bytes",
                                                nfolds=nfolds)
-        return fe.to_bytes(u)
     mult = (edwards.base_point_mult if nfolds == 8
             else edwards.base_point_mult_fold4)
-    S = mult(bits, zr=zr)
+    S = mult(cut, zr=zr)
     num = fe.add(S["z"], S["y"])
     den = fe.sub(S["z"], S["y"])
     u = fe.mul(num, fe.inv(den))

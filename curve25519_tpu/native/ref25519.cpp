@@ -78,7 +78,29 @@ static void fe_mul(fe &r, const fe &a, const fe &b) {
     c = r.v[0] >> 51; r.v[0] &= MASK51; r.v[1] += c;
 }
 
-static void fe_sqr(fe &r, const fe &a) { fe_mul(r, a, a); }
+// dedicated squaring: half the partial products of fe_mul (doubled cross
+// terms), same reduction chain — the native analogue of the reference's
+// ecp_SqrReduce having its own routine (source/asm64/amd64.gnu/Square.s)
+static void fe_sqr(fe &r, const fe &a) {
+    const u64 *x = a.v;
+    u64 d0 = 2 * x[0], d1 = 2 * x[1];
+    u128 t0 = (u128)x[0] * x[0] + (u128)(38 * x[1]) * x[4] +
+              (u128)(38 * x[2]) * x[3];
+    u128 t1 = (u128)d0 * x[1] + (u128)(38 * x[2]) * x[4] +
+              (u128)(19 * x[3]) * x[3];
+    u128 t2 = (u128)d0 * x[2] + (u128)x[1] * x[1] +
+              (u128)(38 * x[3]) * x[4];
+    u128 t3 = (u128)d0 * x[3] + (u128)d1 * x[2] + (u128)(19 * x[4]) * x[4];
+    u128 t4 = (u128)d0 * x[4] + (u128)d1 * x[3] + (u128)x[2] * x[2];
+    u64 c;
+    c = (u64)(t0 >> 51); r.v[0] = (u64)t0 & MASK51; t1 += c;
+    c = (u64)(t1 >> 51); r.v[1] = (u64)t1 & MASK51; t2 += c;
+    c = (u64)(t2 >> 51); r.v[2] = (u64)t2 & MASK51; t3 += c;
+    c = (u64)(t3 >> 51); r.v[3] = (u64)t3 & MASK51; t4 += c;
+    c = (u64)(t4 >> 51); r.v[4] = (u64)t4 & MASK51;
+    r.v[0] += 19 * c;
+    c = r.v[0] >> 51; r.v[0] &= MASK51; r.v[1] += c;
+}
 
 static void fe_mul_small(fe &r, const fe &a, u64 s) {
     u128 c = 0;
@@ -111,31 +133,42 @@ static void fe_freeze(fe &r) {
     }
 }
 
+static void fe_sqr_n(fe &r, const fe &x, int n) {
+    r = x;
+    for (int i = 0; i < n; i++) fe_sqr(r, r);
+}
+
+// shared prefix of the p-2 and (p-5)/8 addition chains: returns
+// (x^(2^250 - 1), x^11) — DJB's chain, as in the reference ecp_Inverse
+// (source/curve25519_mehdi.c:340); ~254 sqr + 11 mul instead of the ~500
+// mults of generic square-and-multiply
+static void fe_chain250(fe &t250, fe &x11, const fe &a) {
+    fe x2, x9, x31, x10, x50, t, t20, t40, t100, t200;
+    fe_sqr(x2, a);                                   // 2
+    fe_sqr(t, x2); fe_sqr(t, t); fe_mul(x9, t, a);   // 9
+    fe_mul(x11, x9, x2);                             // 11
+    fe_sqr(t, x11); fe_mul(x31, t, x9);              // 2^5 - 1
+    fe_sqr_n(t, x31, 5); fe_mul(x10, t, x31);        // 2^10 - 1
+    fe_sqr_n(t, x10, 10); fe_mul(t20, t, x10);       // 2^20 - 1
+    fe_sqr_n(t, t20, 20); fe_mul(t40, t, t20);       // 2^40 - 1
+    fe_sqr_n(t, t40, 10); fe_mul(x50, t, x10);       // 2^50 - 1
+    fe_sqr_n(t, x50, 50); fe_mul(t100, t, x50);      // 2^100 - 1
+    fe_sqr_n(t, t100, 100); fe_mul(t200, t, t100);   // 2^200 - 1
+    fe_sqr_n(t, t200, 50); fe_mul(t250, t, x50);     // 2^250 - 1
+}
+
 static void fe_inv(fe &r, const fe &a) {
-    // a^(p-2), square-and-multiply over the fixed exponent
-    fe t; fe_copy(t, a);
-    // p-2 = 2^255 - 21: bits 254..0
-    for (int i = 253; i >= 0; i--) {
-        fe_sqr(t, t);
-        // bit i of 2^255-21: all ones except bits of 20 (10100): ~: 2^255-21
-        // low 5 bits of (2^255-21) are 01011 (value ...11101011)
-        int bit;
-        if (i >= 5) bit = 1;
-        else bit = (0x0B >> i) & 1;  // 2^255-21 mod 32 = 11 = 0b01011
-        if (bit) fe_mul(t, t, a);
-    }
-    fe_copy(r, t);
+    fe t250, x11, t;
+    fe_chain250(t250, x11, a);
+    fe_sqr_n(t, t250, 5);                            // p-2 = (2^250-1)*2^5 + 11
+    fe_mul(r, t, x11);
 }
 
 static void fe_pow2523(fe &r, const fe &a) {
-    // a^(2^252 - 3); low 2 bits of (2^252-3) are 01
-    fe t; fe_copy(t, a);
-    for (int i = 250; i >= 0; i--) {
-        fe_sqr(t, t);
-        int bit = (i >= 2) ? 1 : ((0x1 >> i) & 1); // 2^252-3 mod 4 = 1
-        if (bit) fe_mul(t, t, a);
-    }
-    fe_copy(r, t);
+    fe t250, x11, t;
+    fe_chain250(t250, x11, a);
+    fe_sqr_n(t, t250, 2);                            // (2^252-3) = (2^250-1)*4 + 1
+    fe_mul(r, t, a);
 }
 
 static void fe_from_bytes(fe &r, const u8 *s) {
@@ -437,6 +470,114 @@ static void ed_add(ext &r, const ext &p, const ext &q) {
     fe_mul(r.z, f, g);
 }
 
+// ---------------------------------------------------------------------------
+// FOLDING-8 base-point multiply — the native fast path contesting the
+// reference's single-op latency records (edp_BasePointMult,
+// source/ed25519_sign.c:215-244): a 256-entry precomputed-affine table of
+// all subset sums of P_i = 2^(32i)*G, built at first use from the curve
+// constants (the reference ships base_folding8.h; we regenerate it), then
+// 31 doubles + 32 mixed adds per 256-bit multiply.
+// ---------------------------------------------------------------------------
+struct pa { fe ypx, ymx, t2d; };
+
+static pa fold8_table[256];
+static bool fold8_ready = false;
+
+// r = p + q for precomputed-affine q (7M), the reference edp_AddAffinePoint
+// (source/ed25519_sign.c:97-115) on radix-2^51 limbs
+static void ed_add_pa(ext &r, const ext &p, const pa &q) {
+    fe a, b, c, d, e, f, g, h, t1;
+    fe_sub(t1, p.y, p.x); fe_mul(a, t1, q.ymx);
+    fe_add(t1, p.y, p.x); fe_mul(b, t1, q.ypx);
+    fe_mul(c, p.t, q.t2d);
+    fe_add(d, p.z, p.z);
+    fe_sub(e, b, a);
+    fe_add(h, b, a);
+    fe_sub(f, d, c);
+    fe_add(g, d, c);
+    fe_mul(r.x, e, f);
+    fe_mul(r.y, h, g);
+    fe_mul(r.z, f, g);
+    fe_mul(r.t, e, h);
+}
+
+// Montgomery batch inversion: one fe_inv + 3(n-1) muls for n inverses
+static void fe_inv_batch(fe *zs, int n) {
+    static fe pre[256];
+    fe acc; fe_one(acc);
+    for (int i = 0; i < n; i++) {
+        pre[i] = acc;
+        fe_mul(acc, acc, zs[i]);
+    }
+    fe ainv; fe_inv(ainv, acc);
+    for (int i = n - 1; i >= 0; i--) {
+        fe t;
+        fe_mul(t, ainv, pre[i]);
+        fe_mul(ainv, ainv, zs[i]);
+        zs[i] = t;
+    }
+}
+
+static void build_fold8() {
+    ext pts[8];
+    fe_from_bytes(pts[0].x, BX_BYTES);
+    fe_from_bytes(pts[0].y, BY_BYTES);
+    fe_one(pts[0].z);
+    fe_mul(pts[0].t, pts[0].x, pts[0].y);
+    for (int i = 1; i < 8; i++) {
+        pts[i] = pts[i - 1];
+        for (int d = 0; d < 32; d++) ed_double(pts[i]);
+    }
+    static ext ent[256];
+    ed_identity(ent[0]);
+    for (int idx = 1; idx < 256; idx++) {
+        int low = idx & -idx;
+        int bit = __builtin_ctz(idx);
+        if (idx == low) ent[idx] = pts[bit];
+        else ed_add(ent[idx], ent[idx & (idx - 1)], pts[bit]);
+    }
+    static fe zs[256];
+    for (int i = 0; i < 256; i++) zs[i] = ent[i].z;
+    fe_inv_batch(zs, 256);
+    fe D2;
+    fe_from_bytes(D2, D_BYTES);
+    fe_add(D2, D2, D2);                              // 2d
+    for (int i = 0; i < 256; i++) {
+        fe x, y, xy;
+        fe_mul(x, ent[i].x, zs[i]);
+        fe_mul(y, ent[i].y, zs[i]);
+        fe_add(fold8_table[i].ypx, y, x); fe_carry(fold8_table[i].ypx);
+        fe_sub(fold8_table[i].ymx, y, x); fe_carry(fold8_table[i].ymx);
+        fe_mul(xy, x, y);
+        fe_mul(fold8_table[i].t2d, xy, D2);
+    }
+    fold8_ready = true;
+}
+
+// cut[c] bit j = scalar bit 32j + 31 - c (reference ecp_8Folds,
+// source/curve25519_utils.c:144-153)
+static void fold8_cut(u8 *cut, const u8 *k) {
+    for (int c = 0; c < 32; c++) {
+        int v = 0;
+        for (int j = 0; j < 8; j++) {
+            int b = 32 * j + 31 - c;
+            v |= ((k[b >> 3] >> (b & 7)) & 1) << j;
+        }
+        cut[c] = (u8)v;
+    }
+}
+
+static void ed_base_mult_fold8(ext &r, const u8 *k32) {
+    if (!fold8_ready) build_fold8();
+    u8 cut[32];
+    fold8_cut(cut, k32);
+    ed_identity(r);
+    for (int c = 0; c < 32; c++) {
+        if (c) ed_double(r);
+        ed_add_pa(r, r, fold8_table[cut[c]]);
+    }
+}
+
 static void ed_scalar_mult(ext &r, const sc &k, const ext &p) {
     // simple double-and-add (host oracle; not constant-time critical here)
     ext q = p;
@@ -572,6 +713,25 @@ extern "C" void c25519_sha512(u8 *out, const u8 *msg, u64 len) {
     sha512_final(c, out);
 }
 
+// Streaming SHA-512 with an opaque caller-held context — the native backend
+// of the framework's O(1)-memory Sha512 Update/Final facade (the reference
+// API shape, source/sha512.h:85-87; arbitrary-length streams with only
+// (state, <128-byte tail, 64-bit length) carried between calls, matching
+// source/sha512.c:118-157).
+extern "C" u64 c25519_sha512_ctx_size() { return sizeof(sha512_ctx); }
+
+extern "C" void c25519_sha512_init(void *ctx) {
+    sha512_init(*(sha512_ctx *)ctx);
+}
+
+extern "C" void c25519_sha512_update(void *ctx, const u8 *p, u64 n) {
+    sha512_update(*(sha512_ctx *)ctx, p, n);
+}
+
+extern "C" void c25519_sha512_final(void *ctx, u8 *out) {
+    sha512_final(*(sha512_ctx *)ctx, out);
+}
+
 extern "C" void c25519_ed25519_keypair(u8 *pk, u8 *priv, const u8 *sk) {
     u8 md[64];
     c25519_sha512(md, sk, 32);
@@ -611,6 +771,69 @@ extern "C" void c25519_ed25519_sign(u8 *sig, const u8 *priv,
     sc ha; sc_mul(ha, h, a);
     sc s; sc_add(s, ha, r);
     sc_to_bytes(sig + 32, s);
+}
+
+// ---------------------------------------------------------------------------
+// Folding-accelerated single-op fast paths. Bit-identical outputs to the
+// generic routines above (the slow generic forms stay as the in-library
+// differential oracle); these contest the reference's latency records
+// (README.md:70-71,86-97: keygen ~14.7 us, sign ~15.8 us, base mult
+// ~12.7 us on its record hardware).
+// ---------------------------------------------------------------------------
+extern "C" void c25519_ed25519_keypair_fast(u8 *pk, u8 *priv, const u8 *sk) {
+    u8 md[64];
+    c25519_sha512(md, sk, 32);
+    clamp(md);
+    ext A;
+    ed_base_mult_fold8(A, md);
+    ed_compress(pk, A);
+    memcpy(priv, sk, 32);
+    memcpy(priv + 32, pk, 32);
+}
+
+extern "C" void c25519_ed25519_sign_fast(u8 *sig, const u8 *priv,
+                                         const u8 *msg, u64 len) {
+    u8 md[64], a_b[64];
+    c25519_sha512(a_b, priv, 32);
+    clamp(a_b);
+    sha512_ctx c;
+    sha512_init(c);
+    sha512_update(c, a_b + 32, 32);
+    sha512_update(c, msg, len);
+    sha512_final(c, md);
+    sc r; sc_from_bytes64(r, md);
+    u8 rb[32]; sc_to_bytes(rb, r);
+    ext R;
+    ed_base_mult_fold8(R, rb);
+    ed_compress(sig, R);
+
+    sha512_init(c);
+    sha512_update(c, sig, 32);
+    sha512_update(c, priv + 32, 32);
+    sha512_update(c, msg, len);
+    sha512_final(c, md);
+    sc h; sc_from_bytes64(h, md);
+    sc a; sc_from_bytes32(a, a_b);
+    sc ha; sc_mul(ha, h, a);
+    sc s; sc_add(s, ha, r);
+    sc_to_bytes(sig + 32, s);
+}
+
+// X25519 public key via the Edwards folding multiply + birational map
+// u = (Z+Y)/(Z-Y) — reference curve25519_dh_CalculatePublicKey_fast
+// (source/curve25519_dh.c:162-189)
+extern "C" void c25519_x25519_base_fast(u8 *out, const u8 *sk_in) {
+    u8 k[32];
+    memcpy(k, sk_in, 32);
+    clamp(k);
+    ext S;
+    ed_base_mult_fold8(S, k);
+    fe num, den, di, u;
+    fe_add(num, S.z, S.y);
+    fe_sub(den, S.z, S.y);
+    fe_inv(di, den);
+    fe_mul(u, num, di);
+    fe_to_bytes(out, u);
 }
 
 extern "C" int c25519_ed25519_verify(const u8 *sig, const u8 *pk,

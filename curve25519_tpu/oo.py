@@ -103,7 +103,9 @@ class X25519Private:
     def get_public_key(self) -> bytes:
         nb = self._nb()
         if nb is not None:
-            return nb.x25519_base(self._sk)
+            # folding fast path (the reference's CalculatePublicKey_fast
+            # regime); bit-identical to the ladder route
+            return nb.x25519_base_fast(self._sk)
         from curve25519_tpu.models import x25519
         return _bytes(x25519.calculate_public_key(_arr(self._sk)))
 
@@ -133,7 +135,7 @@ class ED25519Private:
         self._native = native
         nb = self._nb()
         if nb is not None:
-            pk, priv = nb.ed25519_keypair(seed)
+            pk, priv = nb.ed25519_keypair_fast(seed)
             self._pk, self._priv = pk, priv
             return
         from curve25519_tpu.models import ed25519
@@ -151,7 +153,7 @@ class ED25519Private:
     def sign(self, message: bytes) -> bytes:
         nb = self._nb()
         if nb is not None:
-            return nb.ed25519_sign(self._priv, message)
+            return nb.ed25519_sign_fast(self._priv, message)
         import jax.numpy as jnp
         from curve25519_tpu.models import ed25519
         _, sb = _blinds()

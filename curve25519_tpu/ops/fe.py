@@ -59,7 +59,8 @@ from curve25519_tpu.config import (
 __all__ = [
     "zero", "one", "from_int", "add", "sub", "neg", "mul", "sqr",
     "mul_small_add", "canon", "inv", "pow2523", "is_zero", "eq",
-    "select", "vary_like", "to_bytes", "from_bytes", "sqrt_ratio",
+    "select", "vary_like", "to_bytes", "norm_to_bytes", "from_bytes",
+    "sqrt_ratio",
     "WEAK_MAX", "WEAK_MIN",
 ]
 
@@ -333,17 +334,23 @@ _TB_I = np.array([(8 * j) // 13 for j in range(32)])             # start limb
 _TB_S = np.array([8 * j - 13 * ((8 * j) // 13) for j in range(32)], np.int32)
 
 
-def to_bytes(x):
-    """Canonical little-endian 32-byte encoding: [..., 32] uint8.
-
-    Reference ecp_WordsToBytes (curve25519_utils.c:61) composed with a full
-    reduction (callers of the reference do ecp_Mod/MulMod first)."""
-    d = canon(x)
+def norm_to_bytes(d):
+    """NORMALIZED limbs (every digit in [0, 2^13), value < 2^256) -> 32-byte
+    LE encoding. The raw byte-gather shared by fe.to_bytes (which canonicalizes
+    first) and sc.to_bytes (whose inputs are canonical by contract)."""
     d = jnp.concatenate(
         [d, jnp.zeros(d.shape[:-1] + (1,), jnp.int32)], axis=-1)  # limb 20 = 0
     lo = d[..., _TB_I] >> _const(_TB_S)
     hi = d[..., _TB_I + 1] << (BITS - _const(_TB_S))
     return ((lo | hi) & 0xFF).astype(jnp.uint8)
+
+
+def to_bytes(x):
+    """Canonical little-endian 32-byte encoding: [..., 32] uint8.
+
+    Reference ecp_WordsToBytes (curve25519_utils.c:61) composed with a full
+    reduction (callers of the reference do ecp_Mod/MulMod first)."""
+    return norm_to_bytes(canon(x))
 
 
 def from_bytes(b):

@@ -19,9 +19,13 @@ operand, and each fold step contracts it with the per-lane one-hot
 arithmetic; secrets never index memory.
 
 Epilogues (static `mode`):
-- "affine":  returns (X/Z, Y/Z)           — Ed25519 keygen / sign-R
+- "affine":  returns (X/Z, Y/Z) limbs     — tests / composition
 - "mont_u":  returns u = (Z+Y)/(Z-Y)      — X25519 CalculatePublicKey_fast
              (birational map, curve25519_dh.c:174-178)
+- "pk":      returns the COMPRESSED POINT BYTES (enc(Y/Z), parity bit) —
+             Ed25519 keygen / sign-R; canon + pack run in-kernel so no
+             [B, 20] limb epilogue crosses the kernel boundary
+- "u_bytes": returns enc(u) bytes          — X25519 fast pubkey end-to-end
 An optional blinding epilogue adds a per-lane PE point BP, completing
 (a + bl)*G + BP (reference edp_BasePointMultiply, ed25519_sign.c:246-268).
 """
@@ -35,7 +39,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from curve25519_tpu.config import ED_DI, NLIMBS, int_to_limbs
-from curve25519_tpu.ops import fold
 from curve25519_tpu.ops.pallas import fe_tile as ft
 
 __all__ = ["base_mult_tiled", "base_mult_pallas", "folding8_planes_T",
@@ -138,9 +141,9 @@ def _add_pe(st, ypx, ymx, t2d, z2, pad):
 def _basemult_kernel(cut_ref, zr_ref, planes_ref, *rest, mode, use_bp,
                      ncuts=_CUTS):
     if use_bp:
-        bp_ref, ox_ref, oy_ref = rest
+        bp_ref, *out_refs = rest
     else:
-        ox_ref, oy_ref = rest
+        out_refs = list(rest)
     pad = ft.t_pad()
     planes = planes_ref[...]
     zr = zr_ref[0]
@@ -167,14 +170,22 @@ def _basemult_kernel(cut_ref, zr_ref, planes_ref, *rest, mode, use_bp,
         st = _add_pe(st, bp[0], bp[1], bp[2], bp[3], pad)
 
     x, y, z, _ = st
-    if mode == "affine":
+    if mode in ("affine", "pk"):
         zi = ft.t_inv(z)
-        ox_ref[0] = ft.t_mul(x, zi)
-        oy_ref[0] = ft.t_mul(y, zi)
-    else:  # mont_u: u = (Z+Y)/(Z-Y)
+        ax = ft.t_mul(x, zi)
+        ay = ft.t_mul(y, zi)
+        if mode == "affine":
+            out_refs[0][0] = ax
+            out_refs[1][0] = ay
+        else:
+            out_refs[0][0] = ft.t_pack_point(ax, ay)
+    else:  # mont_u / u_bytes: u = (Z+Y)/(Z-Y)
         u = ft.t_mul(ft.t_add(z, y), ft.t_inv(ft.t_sub(z, y, pad)))
-        ox_ref[0] = u
-        oy_ref[0] = u
+        if mode == "mont_u":
+            out_refs[0][0] = u
+            out_refs[1][0] = u
+        else:
+            out_refs[0][0] = ft.t_to_bytes(u)
 
 
 @functools.partial(jax.jit, static_argnames=("mode", "interpret", "nfolds"))
@@ -185,7 +196,9 @@ def base_mult_tiled(cut_t, zr_t, bp_t=None, mode="affine", interpret=False,
     blinding point. nfolds selects the 8-fold (256-entry table, 32 steps) or
     4-fold (16-entry table, 64 steps) variant — the reference's
     memory/speed-tradeoff pair (source/curve25519_utils.c:125-153).
-    Returns (x_t, y_t) limb tensors in the same tiling ("mont_u": both = u)."""
+    Returns (x_t, y_t) limb tensors in the same tiling ("mont_u": both = u);
+    the byte modes ("pk"/"u_bytes") return ONE [G, 32, 8, 128] int32 tensor
+    of encoded byte rows."""
     g = cut_t.shape[0]
     ncuts = 256 // nfolds
     nent = 1 << nfolds
@@ -198,8 +211,15 @@ def base_mult_tiled(cut_t, zr_t, bp_t=None, mode="affine", interpret=False,
                                memory_space=pltpu.VMEM)
     bp_spec = pl.BlockSpec((1, 4, NLIMBS, ft.TILE_S, ft.TILE_L),
                            lambda i: (i, 0, 0, 0, 0), memory_space=pltpu.VMEM)
-    out_shape = jax.ShapeDtypeStruct((g, NLIMBS, ft.TILE_S, ft.TILE_L),
+    lim_shape = jax.ShapeDtypeStruct((g, NLIMBS, ft.TILE_S, ft.TILE_L),
                                      jnp.int32)
+    if mode in ("pk", "u_bytes"):
+        out_specs = spec(32)
+        out_shape = jax.ShapeDtypeStruct((g, 32, ft.TILE_S, ft.TILE_L),
+                                         jnp.int32)
+    else:
+        out_specs = (spec(NLIMBS), spec(NLIMBS))
+        out_shape = (lim_shape, lim_shape)
     use_bp = bp_t is not None
     in_specs = [spec(ncuts), spec(NLIMBS), planes_spec]
     args = [cut_t, zr_t, folding_planes_T(nfolds)]
@@ -211,31 +231,34 @@ def base_mult_tiled(cut_t, zr_t, bp_t=None, mode="affine", interpret=False,
                           ncuts=ncuts),
         grid=(g,),
         in_specs=in_specs,
-        out_specs=(spec(NLIMBS), spec(NLIMBS)),
-        out_shape=(out_shape, out_shape),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(*args)
 
 
-def base_mult_pallas(bits, zr=None, bp=None, mode="affine", interpret=False,
+def base_mult_pallas(cut, zr=None, bp=None, mode="affine", interpret=False,
                      nfolds=8):
     """Batched folding base-point multiply via the Pallas kernel.
 
-    bits: [..., 256] scalar bits (any batch shape — leading axes are
-    flattened and restored); zr: optional [..., NLIMBS] or [NLIMBS]
-    projective randomizer; bp: optional PE point dict to add (blinding);
-    nfolds: 8 (default) or 4 (16-entry table, 63 steps — reference
-    ecp_4Folds, curve25519_utils.c:125-143). Pads the flat batch to a
-    multiple of TILE_BATCH internally (pad lanes cut to the identity).
-    Returns (x, y) affine limb tensors [..., NLIMBS], or (u, u) for
-    mode="mont_u". Semantics match edwards.base_point_mult /
-    base_point_mult_fold4 composed with to_affine / the birational map."""
+    cut: [..., 256 // nfolds] fold digits (fold.cut8_* for nfolds=8,
+    fold.cut4_* for nfolds=4 — extracted straight from the scalar's byte or
+    limb encoding, no bit-tensor intermediate; any batch shape — leading
+    axes are flattened and restored); zr: optional [..., NLIMBS] or [NLIMBS]
+    projective randomizer; bp: optional PE point dict to add (blinding).
+    Pads the flat batch to a multiple of TILE_BATCH internally (pad lanes
+    cut to the identity). Returns (x, y) affine limb tensors [..., NLIMBS],
+    (u, u) for mode="mont_u", or [..., 32] uint8 encodings for the byte
+    modes ("pk" = compressed point, "u_bytes" = enc(u)). Semantics match
+    edwards.base_point_mult / base_point_mult_fold4 composed with
+    to_affine / _pack / the birational map."""
     from curve25519_tpu.ops import fe
     from curve25519_tpu.ops.pallas import flatten_batch
 
-    batch = bits.shape[:-1]
+    ncuts = 256 // nfolds
+    batch = cut.shape[:-1]
     b, unflatten = flatten_batch(batch)
-    bits = bits.reshape(b, 256)
+    cut = cut.reshape(b, ncuts)
     if zr is not None:
         zr = jnp.broadcast_to(zr, batch + (NLIMBS,)).reshape(b, NLIMBS)
     if bp is not None:
@@ -244,10 +267,8 @@ def base_mult_pallas(bits, zr=None, bp=None, mode="affine", interpret=False,
     bpad = ((b + ft.TILE_BATCH - 1) // ft.TILE_BATCH) * ft.TILE_BATCH
     g = bpad // ft.TILE_BATCH
 
-    cut_fn = fold.cut8 if nfolds == 8 else fold.cut4
-    cut = cut_fn(bits).astype(jnp.int32)                # [B, 256 // nfolds]
     cut = jnp.concatenate(
-        [cut, jnp.zeros((bpad - b, 256 // nfolds), jnp.int32)], 0)
+        [cut, jnp.zeros((bpad - b, ncuts), jnp.int32)], 0)
 
     if zr is None:
         zr_l = fe.one((bpad,))
@@ -266,8 +287,12 @@ def base_mult_pallas(bits, zr=None, bp=None, mode="affine", interpret=False,
         bp_t = coords.reshape(g, ft.TILE_S, ft.TILE_L, 4, NLIMBS)
         bp_t = bp_t.transpose(0, 3, 4, 1, 2)
 
-    x_t, y_t = base_mult_tiled(
+    out = base_mult_tiled(
         ft.tile_lanes(cut, g), ft.tile_lanes(zr_l, g), bp_t,
         mode=mode, interpret=interpret, nfolds=nfolds)
+    if mode in ("pk", "u_bytes"):
+        by = ft.untile_lanes(out)[:b].astype(jnp.uint8)
+        return unflatten(by)
+    x_t, y_t = out
     return (unflatten(ft.untile_lanes(x_t)[:b]),
             unflatten(ft.untile_lanes(y_t)[:b]))

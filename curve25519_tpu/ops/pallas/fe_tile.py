@@ -213,3 +213,35 @@ def t_is_zero(x):
     for i in range(1, NLIMBS):
         acc = jnp.logical_and(acc, c[i] == 0)
     return acc
+
+
+def t_norm_to_bytes(d):
+    """CANONICAL limb tiles [NLIMBS, S, L] -> 32 LE byte rows [32, S, L]
+    int32 (values in [0, 256)). In-kernel twin of fe.norm_to_bytes: the
+    byte<->limb straddle indices are compile-time constants, so each output
+    byte is two static row reads + shifts — no gather. Running this (and
+    t_canon) inside the kernel keeps the pack epilogue off the lane-wasting
+    [B, 20] host-side layout (the measured inter-kernel glue, VERDICT r3)."""
+    from curve25519_tpu.ops import fe
+    d21 = jnp.concatenate([d, jnp.zeros_like(d[:1])], axis=0)
+    rows = []
+    for j in range(32):
+        i = int(fe._TB_I[j])
+        s = int(fe._TB_S[j])
+        rows.append(((d21[i] >> s) | (d21[i + 1] << (BITS - s))) & 0xFF)
+    return jnp.stack(rows, axis=0)
+
+
+def t_to_bytes(x):
+    """Weak limbs -> canonical 32 LE byte rows [32, S, L] (fe.to_bytes)."""
+    return t_norm_to_bytes(t_canon(x))
+
+
+def t_pack_point(x, y):
+    """Affine (x, y) weak limb tiles -> compressed point byte rows
+    [32, S, L]: enc(y) with parity(x) in bit 7 of byte 31 (the models
+    _pack / reference ed25519_PackPoint epilogue, done in-kernel)."""
+    xc = t_canon(x)
+    rows = t_to_bytes(y)
+    hi = (rows[31] & 0x7F) | ((xc[0] & 1) << 7)
+    return jnp.concatenate([rows[:31], hi[None]], axis=0)

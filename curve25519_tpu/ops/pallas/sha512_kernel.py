@@ -247,6 +247,12 @@ def _pack_words(msg, length, prefix=None):
     plen = 0 if prefix is None else prefix.shape[-1]
     assert plen % 4 == 0, "prefix length must be word-aligned"
     nb = sha_jnp._nblocks_static(max_len + plen)
+    if nb > CHUNK_BLOCKS:
+        # round up to a whole number of kernel chunks HERE (trailing zero
+        # blocks are inert — masked by nblocks) so sha512_blocks_tiled never
+        # has to concatenate-pad the full message-words buffer (at the 1024
+        # x 1 MiB bench shape that copy was ~1 GiB of HBM traffic)
+        nb = -(-nb // CHUNK_BLOCKS) * CHUNK_BLOCKS
     nw = nb * 32                                   # uint32 half-words
     length = length + plen                         # full-stream byte length
 

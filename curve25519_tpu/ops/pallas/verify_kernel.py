@@ -25,7 +25,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from curve25519_tpu.config import ED_DI, NLIMBS, int_to_limbs
-from curve25519_tpu.ops import fold
 from curve25519_tpu.ops.pallas import edwards_kernel as ek
 from curve25519_tpu.ops.pallas import fe_tile as ft
 
@@ -82,7 +81,7 @@ def _gather_qt_shared(qplanes, idx):
             q[2 * NLIMBS:3 * NLIMBS], q[3 * NLIMBS:])
 
 
-def _poly_kernel(u_ref, v_ref, qt_ref, planes_ref, ox_ref, oy_ref, *,
+def _poly_kernel(u_ref, v_ref, qt_ref, planes_ref, orb_ref, *,
                  shared_qt=False):
     pad = ft.t_pad()
     planes = planes_ref[...]
@@ -123,8 +122,9 @@ def _poly_kernel(u_ref, v_ref, qt_ref, planes_ref, ox_ref, oy_ref, *,
 
     x, y, z, _ = st
     zi = ft.t_inv(z)
-    ox_ref[0] = ft.t_mul(x, zi)
-    oy_ref[0] = ft.t_mul(y, zi)
+    # emit enc(R') directly: canon + compression run in-kernel, so the
+    # byte-compare against the signature outside is pure elementwise work
+    orb_ref[0] = ft.t_pack_point(ft.t_mul(x, zi), ft.t_mul(y, zi))
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -132,7 +132,7 @@ def poly_mult_tiled(u_t, v_t, qt_t, interpret=False):
     """u_t: [G, 32, 8, 128] 8-fold digits of s; v_t: [G, 64, 8, 128] 4-fold
     digits of h; qt_t: [G, 16*8*NLIMBS, 8, 128] int8 per-lane q_table planes
     (entry-major, lo rows then hi rows per entry — unpacked in-kernel).
-    Returns affine (x_t, y_t) limb tensors [G, NLIMBS, 8, 128]."""
+    Returns enc(R') byte rows [G, 32, 8, 128] int32."""
     g = u_t.shape[0]
 
     def spec(k):
@@ -141,14 +141,14 @@ def poly_mult_tiled(u_t, v_t, qt_t, interpret=False):
 
     planes_spec = pl.BlockSpec((2 * ek._W, 256), lambda i: (0, 0),
                                memory_space=pltpu.VMEM)
-    out_shape = jax.ShapeDtypeStruct((g, NLIMBS, ft.TILE_S, ft.TILE_L),
+    out_shape = jax.ShapeDtypeStruct((g, 32, ft.TILE_S, ft.TILE_L),
                                      jnp.int32)
     return pl.pallas_call(
         _poly_kernel,
         grid=(g,),
         in_specs=[spec(32), spec(64), spec(16 * 2 * _QROWS), planes_spec],
-        out_specs=(spec(NLIMBS), spec(NLIMBS)),
-        out_shape=(out_shape, out_shape),
+        out_specs=spec(32),
+        out_shape=out_shape,
         interpret=interpret,
     )(u_t, v_t, qt_t, ek.folding8_planes_T())
 
@@ -169,14 +169,14 @@ def poly_mult_tiled_shared(u_t, v_t, qplanes, interpret=False):
                            memory_space=pltpu.VMEM)
     planes_spec = pl.BlockSpec((2 * ek._W, 256), lambda i: (0, 0),
                                memory_space=pltpu.VMEM)
-    out_shape = jax.ShapeDtypeStruct((g, NLIMBS, ft.TILE_S, ft.TILE_L),
+    out_shape = jax.ShapeDtypeStruct((g, 32, ft.TILE_S, ft.TILE_L),
                                      jnp.int32)
     return pl.pallas_call(
         functools.partial(_poly_kernel, shared_qt=True),
         grid=(g,),
         in_specs=[spec(32), spec(64), qp_spec, planes_spec],
-        out_specs=(spec(NLIMBS), spec(NLIMBS)),
-        out_shape=(out_shape, out_shape),
+        out_specs=spec(32),
+        out_shape=out_shape,
         interpret=interpret,
     )(u_t, v_t, qplanes, ek.folding8_planes_T())
 
@@ -254,8 +254,13 @@ def _vinit_kernel(y_ref, par_ref, ox_ref, ook_ref):
         for s in srcs:
             qt[base + s] = _to_pe(ek._add_pe(q, *qt[s], pad), pad, two_d)
 
+    # canonicalize in-kernel: the int8 plane split downstream requires
+    # non-negative digits < 2^13, and doing the canon here (t_canon ==
+    # fe.canon bit-exact) keeps the [B, 16, 4, NLIMBS] canonicalization off
+    # the host-side glue path (it was ~half the verify_init wall-clock)
     ox_ref[0] = jnp.concatenate(
-        [coord for e in qt for coord in e], axis=0)      # [16*_QROWS, S, L]
+        [ft.t_canon(coord) for e in qt for coord in e],
+        axis=0)                                          # [16*_QROWS, S, L]
     ook_ref[0, 0] = ok.astype(jnp.int32)
 
 
@@ -286,8 +291,9 @@ def verify_init_tiled(y_t, par_t, interpret=False):
 def verify_init_pallas(y_limbs, parity, interpret=False):
     """Batched q_table build. y_limbs: [..., NLIMBS]; parity: [...] int32
     (already inverted for -Q). Any batch shape — leading axes are flattened
-    and restored. Returns (qt [..., 16, 4, NLIMBS] int32 weak-all limb
-    array, ok [...] bool)."""
+    and restored. Returns (qt [..., 16, 4, NLIMBS] int32 CANONICAL limb
+    array — ready for the int8 plane split without further reduction,
+    ok [...] bool)."""
     from curve25519_tpu.ops.pallas import flatten_batch
 
     batch = y_limbs.shape[:-1]
@@ -310,22 +316,23 @@ def verify_init_pallas(y_limbs, parity, interpret=False):
     return unflatten(qt), unflatten(ok)
 
 
-def poly_mult_pallas(s_bits, h_bits, planes, interpret=False):
-    """Batched R' = s*G + h*(-Q) via the Pallas kernel.
+def poly_mult_pallas(u, v, planes, interpret=False):
+    """Batched enc(s*G + h*(-Q)) via the Pallas kernel.
 
-    s_bits/h_bits: [..., 256] scalar bits; planes: [..., 16, 8*NLIMBS] int8 —
-    the Verify_Init context's plane-split q_table (models/ed25519.verify_init).
+    u: [..., 32] 8-fold digits of s (fold.cut8_*); v: [..., 64] 4-fold
+    digits of h (fold.cut4_*); planes: [..., 16, 8*NLIMBS] int8 — the
+    Verify_Init context's plane-split q_table (models/ed25519.verify_init).
     Any batch shape — leading axes are flattened and restored. An *unbatched*
     planes array (ndim == 2: one pk shared by the whole batch) routes to the
     shared-operand kernel, which ships the q_table once as a bf16 MXU operand
-    instead of 2.5 KB per lane. Returns affine (x, y) limb tensors
-    [..., NLIMBS]."""
+    instead of 2.5 KB per lane. Returns enc(R') bytes [..., 32] uint8 (canon
+    + point compression run in-kernel)."""
     from curve25519_tpu.ops.pallas import flatten_batch
 
-    batch = s_bits.shape[:-1]
+    batch = u.shape[:-1]
     b, unflatten = flatten_batch(batch)
-    s_bits = s_bits.reshape(b, 256)
-    h_bits = jnp.broadcast_to(h_bits, batch + (256,)).reshape(b, 256)
+    u = u.reshape(b, 32)
+    v = jnp.broadcast_to(v, batch + (64,)).reshape(b, 64)
     shared = planes.ndim == 2        # one pk for the whole batch
     if not shared:
         planes = jnp.broadcast_to(
@@ -334,23 +341,19 @@ def poly_mult_pallas(s_bits, h_bits, planes, interpret=False):
     bpad = ((b + ft.TILE_BATCH - 1) // ft.TILE_BATCH) * ft.TILE_BATCH
     g = bpad // ft.TILE_BATCH
 
-    u = fold.cut8(s_bits).astype(jnp.int32)                # [B, 32]
-    v = fold.cut4(h_bits).astype(jnp.int32)                # [B, 64]
-
     def padd(x):
         return jnp.concatenate(
             [x, jnp.zeros((bpad - b, x.shape[-1]), x.dtype)], 0)
 
     if shared:
-        x_t, y_t = poly_mult_tiled_shared(
+        r_t = poly_mult_tiled_shared(
             ft.tile_lanes(padd(u), g), ft.tile_lanes(padd(v), g),
             qplanes_shared(planes), interpret=interpret)
     else:
         # ship the planes as int8 end-to-end (entry-major [B, 16*160]); the
         # kernel unpacks them in VMEM, halving the q_table HBM traffic
         qt8 = planes.reshape(b, 16 * 8 * NLIMBS)
-        x_t, y_t = poly_mult_tiled(
+        r_t = poly_mult_tiled(
             ft.tile_lanes(padd(u), g), ft.tile_lanes(padd(v), g),
             ft.tile_lanes(padd(qt8), g), interpret=interpret)
-    return (unflatten(ft.untile_lanes(x_t)[:b]),
-            unflatten(ft.untile_lanes(y_t)[:b]))
+    return unflatten(ft.untile_lanes(r_t)[:b].astype(jnp.uint8))

@@ -138,27 +138,33 @@ def from_bytes_raw(b):
 
 
 def to_bytes(x):
-    """Canonical scalar -> 32 little-endian bytes (reference ecp_WordsToBytes)."""
-    shifts = jnp.arange(BITS, dtype=jnp.int32)
-    bits = (x[..., :, None] >> shifts) & 1
-    bits = bits.reshape(bits.shape[:-2] + (NLIMBS * BITS,))[..., :256]
-    by = bits.reshape(bits.shape[:-1] + (32, 8))
-    weights = (1 << jnp.arange(8, dtype=jnp.int32))
-    return jnp.sum(by * weights, axis=-1).astype(jnp.uint8)
+    """Canonical scalar -> 32 little-endian bytes (reference
+    ecp_WordsToBytes). Byte-arithmetic static gather — no bit-tensor
+    intermediate (the fe.to_bytes pattern; inputs are canonical normalized
+    limbs by this module's contract, so no reduction is needed)."""
+    from curve25519_tpu.ops import fe
+    return fe.norm_to_bytes(x)
+
+
+# from_digest gather tables: limb i of the 40-limb view holds bits
+# [13i, 13i+13) of the 512-bit LE digest, which lie inside the three bytes
+# starting at (13i)//8 (digest padded to 66 bytes so the gather stays in
+# range; bits past 511 read zeros).
+_FD_J = np.array([(13 * i) // 8 for i in range(2 * NLIMBS)])
+_FD_S = np.array([(13 * i) % 8 for i in range(2 * NLIMBS)], np.int32)
 
 
 def from_digest(md):
     """512-bit digest ([..., 64] uint8, little-endian) -> canonical scalar.
     Reference eco_DigestToWords (curve25519_order.c:138-155) composed with
-    eco_Mod, i.e. the result is already canonical."""
-    md = md.astype(jnp.int32)
-    shifts = jnp.arange(8, dtype=jnp.int32)
-    bits = ((md[..., :, None] >> shifts) & 1).reshape(md.shape[:-1] + (512,))
-    pad = jnp.zeros(bits.shape[:-1] + (2 * NLIMBS * BITS - 512,), jnp.int32)
-    bits = jnp.concatenate([bits, pad], axis=-1)
-    bits = bits.reshape(bits.shape[:-1] + (2 * NLIMBS, BITS))
-    weights = (1 << jnp.arange(BITS, dtype=jnp.int32))
-    cols = jnp.sum(bits * weights, axis=-1).astype(jnp.int32)
+    eco_Mod, i.e. the result is already canonical. Byte-arithmetic form of
+    the 64-byte -> 40-limb split (no 512-wide bit tensor)."""
+    from curve25519_tpu.config import MASK
+    b = md.astype(jnp.int32)
+    b = jnp.concatenate(
+        [b, jnp.zeros(b.shape[:-1] + (2,), jnp.int32)], axis=-1)  # [..., 66]
+    w = (b[..., _FD_J] | (b[..., _FD_J + 1] << 8) | (b[..., _FD_J + 2] << 16))
+    cols = (w >> _const(_FD_S)) & MASK
     return _reduce40(cols)
 
 

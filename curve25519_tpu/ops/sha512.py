@@ -164,15 +164,20 @@ def _pad_and_pack(msg, length):
     data = jnp.where(idx == len_b, jnp.uint8(0x80), data)
 
     # 128-bit big-endian bit-length field at the end of the last active block
-    # (we populate the low 64 bits; messages are < 2^61 bytes).
+    # (we populate the low 64 bits; per-message int32 lengths give < 2^34
+    # bits, split into uint32 halves so lengths >= 2^29 bytes stay exact).
     nblocks = (length + 17 + BLOCK_LEN - 1) // BLOCK_LEN
     len_pos = nblocks[..., None] * BLOCK_LEN - 8     # first of 8 length bytes
-    bitlen = length.astype(jnp.uint32) * 8           # < 2^35 for our sizes
-    # big-endian: byte k (k=0..7) holds bits (7-k)*8..
+    bitlen_hi = (length >> 29).astype(jnp.uint32)
+    bitlen_lo = length.astype(jnp.uint32) << 3
+    # big-endian: byte k (k=0..3) from the hi half, k (4..7) from the lo
     k = idx - len_pos
-    shift = jnp.where((k >= 0) & (k < 8), (7 - k) * 8, 0).astype(jnp.uint32)
-    len_byte = ((bitlen[..., None] >> shift) & 0xFF).astype(jnp.uint8)
-    data = jnp.where((k >= 0) & (k < 8), len_byte, data)
+    in_field = (k >= 0) & (k < 8)
+    kk = jnp.where(in_field, k, 0)
+    half = jnp.where(kk < 4, bitlen_hi[..., None], bitlen_lo[..., None])
+    shift = ((3 - (kk & 3)) * 8).astype(jnp.uint32)
+    len_byte = ((half >> shift) & 0xFF).astype(jnp.uint8)
+    data = jnp.where(in_field, len_byte, data)
 
     # bytes -> big-endian 64-bit words: [..., nb, 16, 2]
     blocks = data.reshape(batch_shape + (nb, 16, 2, 4)).astype(jnp.uint32)
@@ -271,16 +276,102 @@ def sha512_bytes(data: bytes) -> bytes:
 
 
 class Sha512:
-    """Streaming Init/Update/Final facade over the batched kernel (the
-    reference API shape, source/sha512.h:85-87). Buffers on host; tools and
-    the hardened RNG use it for exact byte-stream parity."""
+    """Streaming Init/Update/Final (the reference API shape,
+    source/sha512.h:85-87) in O(1) MEMORY: between calls only the 8-word
+    hash state, a <128-byte tail, and the running byte count are carried —
+    the same invariant as the reference's SHA512_Update/Final
+    (source/sha512.c:67-157). Arbitrary stream lengths: the final length
+    field is assembled host-side from an exact python int, so the 2^61-byte
+    class of the reference is comfortably covered (tested across 2^31).
+
+    Backend: the native host core's streaming context when available
+    (GB/s-class, the single-op latency regime); otherwise the batched jnp
+    transform absorbing fixed-size masked chunks on the CPU backend (one
+    compiled graph reused for every chunk). CURVE25519_TPU_HOST_NATIVE=0
+    pins the jnp path (same switch as oo.py)."""
+
+    _CHUNK_BLOCKS = 512          # jnp fallback absorbs 64 KiB per graph call
 
     def __init__(self):
-        self._buf = bytearray()
+        import os
+        self._native = None
+        if os.environ.get("CURVE25519_TPU_HOST_NATIVE", "1") != "0":
+            try:
+                from curve25519_tpu.native import bindings
+                self._native = bindings.Sha512Stream()
+            except Exception:
+                self._native = None
+        self._state = np.array(_H0_HL)               # [8, 2] uint32
+        self._tail = bytearray()
+        self._total = 0
 
     def update(self, data):
-        self._buf += bytes(data)
+        data = bytes(data)
+        self._total += len(data)
+        if self._native is not None:
+            self._native.update(data)
+            return self
+        self._tail += data
+        nfull = len(self._tail) // BLOCK_LEN
+        if nfull:
+            self._absorb(bytes(self._tail[:nfull * BLOCK_LEN]))
+            del self._tail[:nfull * BLOCK_LEN]
         return self
 
+    def _absorb(self, block_bytes):
+        """Run whole blocks through the jnp transform in fixed-shape masked
+        chunks (every distinct chunk count would be a fresh XLA compile;
+        padding to _CHUNK_BLOCKS keeps it to one cached graph)."""
+        nb = len(block_bytes) // BLOCK_LEN
+        # read big-endian words, then convert to native uint32 (jax rejects
+        # non-native-endian dtypes)
+        words = np.frombuffer(block_bytes, ">u4").astype(
+            np.uint32).reshape(nb, 16, 2)
+        for ofs in range(0, nb, self._CHUNK_BLOCKS):
+            chunk = words[ofs:ofs + self._CHUNK_BLOCKS]
+            n = chunk.shape[0]
+            if n < self._CHUNK_BLOCKS:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((self._CHUNK_BLOCKS - n, 16, 2),
+                                     np.uint32)], 0)
+            self._state = np.asarray(_absorb_chunk_jit(
+                jnp.asarray(self._state), jnp.asarray(chunk),
+                jnp.int32(n)))
+
     def final(self) -> bytes:
-        return sha512_bytes(bytes(self._buf))
+        if self._native is not None:
+            return self._native.final()
+        # FIPS 180-4 final padding from the EXACT host-side length
+        fill = self._total % BLOCK_LEN
+        padlen = (112 - fill) if fill < 112 else (240 - fill)
+        trailer = b"\x80" + b"\x00" * (padlen - 1) + \
+            (self._total * 8).to_bytes(16, "big")
+        self._absorb(bytes(self._tail) + trailer)
+        self._tail.clear()
+        return self._state.astype(">u4").tobytes()
+
+
+def _absorb_chunk(state, words, n):
+    """state [8, 2] u32; words [CHUNK, 16, 2]; blocks >= n leave state."""
+
+    def body(st, inp):
+        blk, bi = inp
+        new = _transform(st, blk)
+        return jnp.where(bi < n, new, st), None
+
+    idx = jnp.arange(words.shape[0], dtype=jnp.int32)
+    st, _ = jax.lax.scan(body, state, (words, idx))
+    return st
+
+
+_absorb_chunk_cache = None
+
+
+def _absorb_chunk_jit(state, words, n):
+    """CPU-pinned cached jit of _absorb_chunk (host facade: pushing host
+    streaming through the accelerator would pay a transfer per chunk)."""
+    global _absorb_chunk_cache
+    if _absorb_chunk_cache is None:
+        _absorb_chunk_cache = jax.jit(_absorb_chunk)
+    with jax.default_device(jax.devices("cpu")[0]):
+        return _absorb_chunk_cache(state, words, n)

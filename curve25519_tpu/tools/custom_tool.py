@@ -53,19 +53,54 @@ def cmd_random(name, n=32):
 
 
 def cmd_testvector(seed: bytes, msg: bytes):
-    """Generate + self-verify a sign test vector using the pure-python model
-    (independent oracle) — mirrors custom_tool t."""
+    """Generate a sign test vector and round-trip it through EVERY
+    implementation path: the pure-python oracle, the production JAX path
+    (keygen + sign must reproduce the same bytes, verify must accept), and
+    the native host core when buildable. The reference's tool likewise
+    links and verifies through the real library, not a model
+    (custom/main.c:106-141). Exits non-zero if any path disagrees."""
     from curve25519_tpu import refmodel
     sk = hashlib.sha512(seed).digest()[:32]
     pk, priv = refmodel.ed_keypair(sk)
     sig = refmodel.ed_sign(priv, msg)
-    ok = refmodel.ed_verify(sig, pk, msg)
+    checks = {"refmodel": refmodel.ed_verify(sig, pk, msg)}
+
+    # production JAX path: same keypair, same signature, verifies True
+    import numpy as np
+    import jax.numpy as jnp
+    from curve25519_tpu.models import ed25519
+
+    def _b(x):
+        return bytes(np.asarray(x).reshape(-1).tolist())
+
+    skj = jnp.asarray(np.frombuffer(sk, np.uint8))
+    pkj, privj = ed25519.create_keypair(skj)
+    msgj = (jnp.asarray(np.frombuffer(msg, np.uint8)) if msg
+            else jnp.zeros((0,), jnp.uint8))
+    sigj = ed25519.sign(privj, msgj)
+    checks["jax-keygen"] = _b(pkj) == pk and _b(privj) == priv
+    checks["jax-sign"] = _b(sigj) == sig
+    checks["jax-verify"] = bool(np.asarray(
+        ed25519.verify(jnp.asarray(np.frombuffer(sig, np.uint8)), pkj,
+                       msgj)))
+
+    # native host core (skipped only if the toolchain can't build it)
+    try:
+        from curve25519_tpu.native import bindings
+        pk_n, priv_n = bindings.ed25519_keypair(sk)
+        checks["native-keygen"] = (pk_n, priv_n) == (pk, priv)
+        checks["native-sign"] = bindings.ed25519_sign(priv, msg) == sig
+        checks["native-verify"] = bindings.ed25519_verify(sig, pk, msg)
+    except Exception as e:  # no g++ — report, don't silently pass
+        print(f"native path unavailable ({e!r})")
+
     print(f"sk  = {sk.hex()}")
     print(f"pk  = {pk.hex()}")
     print(f"msg = {msg.hex()}")
     print(f"sig = {sig.hex()}")
-    print(f"verified = {ok}")
-    return 0 if ok else 1
+    for name, ok in checks.items():
+        print(f"verified[{name}] = {bool(ok)}")
+    return 0 if all(checks.values()) else 1
 
 
 def main(argv=None):

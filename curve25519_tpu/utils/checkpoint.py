@@ -52,8 +52,10 @@ def _unflatten(spec, arrays, to_jax):
 
 
 def save_pytree(path, tree):
-    """Serialize a pytree of arrays to `path` (.npz). Keys starting with '_'
-    (host-side secrets kept for chaining, e.g. blinding '_b') are skipped."""
+    """Serialize a pytree of arrays to `path` (.npz appended if absent —
+    np.savez does this silently, so both sides normalize the same way).
+    Keys starting with '_' (host-side secrets kept for chaining, e.g.
+    blinding '_b') are skipped."""
     out = {}
     spec = _flatten(tree, "t", out)
     out[_SENTINEL] = np.frombuffer(json.dumps(spec).encode(), np.uint8)
@@ -62,7 +64,11 @@ def save_pytree(path, tree):
 
 def load_pytree(path, to_jax=True):
     """Load a pytree saved by save_pytree; leaves become jax arrays by
-    default (numpy with to_jax=False)."""
+    default (numpy with to_jax=False). Accepts the path with or without
+    the .npz suffix save_pytree's np.savez appends."""
+    import os
+    if not os.path.exists(path) and os.path.exists(str(path) + ".npz"):
+        path = str(path) + ".npz"
     with np.load(path) as z:
         spec = json.loads(bytes(z[_SENTINEL]).decode())
         arrays = {k: z[k] for k in z.files if k != _SENTINEL}

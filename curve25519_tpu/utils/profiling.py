@@ -15,7 +15,8 @@ import time
 
 import numpy as np
 
-__all__ = ["bench", "trace", "trace_summary", "Counter", "timed"]
+__all__ = ["bench", "trace", "trace_summary", "trace_device_events",
+           "Counter", "timed"]
 
 
 def bench(fn, *args, reps=8, rounds=3, warmup=True):
@@ -89,6 +90,38 @@ def trace_summary(logdir, prefix=None):
         name = e.get("name", "?")
         if prefix is not None and not name.startswith(prefix):
             continue
+        d = agg.setdefault(name, {"total_us": 0.0, "count": 0})
+        d["total_us"] += e["dur"]
+        d["count"] += 1
+    return dict(sorted(agg.items(), key=lambda kv: -kv[1]["total_us"]))
+
+
+def trace_device_events(logdir):
+    """Aggregate ONLY device-lane events of the newest trace under `logdir`
+    into {event_name: {"total_us", "count"}}, using the trace's process
+    metadata to find accelerator pids (process names carrying "TPU" /
+    "/device:"). This is what separates kernel time from inter-kernel glue:
+    sum(all device events) - sum(kernel events) = the device-side
+    non-kernel cost of an op (the r3 sign-path finding, PERF.md §5)."""
+    import glob
+    import gzip
+
+    paths = sorted(glob.glob(
+        f"{logdir}/plugins/profile/*/*.trace.json.gz"))
+    if not paths:
+        raise FileNotFoundError(f"no trace under {logdir}")
+    events = json.loads(gzip.open(paths[-1]).read().decode())["traceEvents"]
+    dev_pids = set()
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pname = str(e.get("args", {}).get("name", ""))
+            if "TPU" in pname or "/device:" in pname or "Device" in pname:
+                dev_pids.add(e.get("pid"))
+    agg = {}
+    for e in events:
+        if e.get("ph") != "X" or "dur" not in e or e.get("pid") not in dev_pids:
+            continue
+        name = e.get("name", "?")
         d = agg.setdefault(name, {"total_us": 0.0, "count": 0})
         d["total_us"] += e["dur"]
         d["count"] += 1

@@ -61,6 +61,34 @@ def test_sign_ragged_matches_per_message():
     assert okb.tolist() == [True, True, True, False, True]
 
 
+def test_verify_ragged_single_init(monkeypatch):
+    """Two-phase amortization (reference ed25519_Verify_Init/Check split,
+    ed25519_verify.c:179-232): ragged verify of N messages performs exactly
+    ONE verify_init across all length buckets — and zero with a precomputed
+    ctx. A rank-1 pk keeps the shared-operand ctx (planes ndim == 2)."""
+    seed = jnp.asarray(rng.integers(0, 256, (32,), np.uint8))
+    pk, priv = ed25519.create_keypair(seed)
+    sigs = np.asarray(ed25519.sign_ragged(priv, MSGS))
+
+    calls = []
+    real_init = ed25519.verify_init
+
+    def counting_init(p):
+        calls.append(1)
+        return real_init(p)
+
+    monkeypatch.setattr(ed25519, "verify_init", counting_init)
+    ok = np.asarray(ed25519.verify_ragged(sigs, pk, MSGS))
+    assert ok.all()
+    assert len(calls) == 1                      # one init, two buckets
+
+    ctx = real_init(pk)
+    assert ctx["planes"].ndim == 2              # shared-operand form
+    calls.clear()
+    ok2 = np.asarray(ed25519.verify_ragged(sigs, pk, MSGS, ctx=ctx))
+    assert ok2.all() and len(calls) == 0        # precomputed ctx: zero inits
+
+
 def test_row_args_scatter_order():
     # per-row args must follow their messages through the buckets
     tags = np.arange(len(MSGS), dtype=np.int32)

@@ -95,13 +95,16 @@ def test_tamper_rejection():
     bad_r = sigs.at[0, 3].set(sigs[0, 3] ^ 1)
     bad_s = sigs.at[1, 40].set(sigs[1, 40] ^ 0x10)
     bad_m = msgs.at[2, 0].set(msgs[2, 0] ^ 0x80)
-    rows_sig = jnp.stack([bad_r[0], bad_s[1], sigs[2], sigs[0]])
-    rows_pk = jnp.stack([pks[0], pks[1], pks[2], pks[::-1][0]])
-    rows_msg = jnp.stack([msgs[0], msgs[1], bad_m[2], msgs[0]])
-    rows_len = jnp.stack([lens[0], lens[1], lens[2], lens[0]])
+    # row 4 is an UNTAMPERED positive control: a verify that rejected
+    # everything would otherwise pass this test
+    rows_sig = jnp.stack([bad_r[0], bad_s[1], sigs[2], sigs[0], sigs[0]])
+    rows_pk = jnp.stack([pks[0], pks[1], pks[2], pks[::-1][0], pks[0]])
+    rows_msg = jnp.stack([msgs[0], msgs[1], bad_m[2], msgs[0], msgs[0]])
+    rows_len = jnp.stack([lens[0], lens[1], lens[2], lens[0], lens[0]])
     ok = np.asarray(JV(rows_sig, rows_pk, rows_msg,
                                             rows_len))
-    assert not ok.any()
+    assert not ok[:4].any()
+    assert ok[4]
 
 
 def test_batch_round_trip_vs_oracle():

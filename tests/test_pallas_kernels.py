@@ -7,7 +7,7 @@ import jax.numpy as jnp
 import pytest
 
 from curve25519_tpu import refmodel
-from curve25519_tpu.ops import codec, fe, sc
+from curve25519_tpu.ops import codec, fe, fold, sc
 from curve25519_tpu.ops.pallas import edwards_kernel as ek
 from curve25519_tpu.ops.pallas import ladder_kernel as lk
 
@@ -83,10 +83,10 @@ def test_pallas_basemult_fold4_interpret_matches_scan():
     B = 48
     sk = codec.clamp(jnp.asarray(
         rng.integers(0, 256, (B, 32), dtype=np.uint8)))
-    bits = codec.scalar_bits(sk)
-    s = edwards.base_point_mult_fold4(bits)
+    cut = fold.cut4_bytes(sk)
+    s = edwards.base_point_mult_fold4(cut)
     x_ref, y_ref = edwards.to_affine(s)
-    x_p, y_p = ek.base_mult_pallas(bits, mode="affine", interpret=True,
+    x_p, y_p = ek.base_mult_pallas(cut, mode="affine", interpret=True,
                                    nfolds=4)
     assert np.array_equal(np.asarray(fe.to_bytes(x_p)),
                           np.asarray(fe.to_bytes(x_ref)))
@@ -102,20 +102,33 @@ def test_pallas_basemult_interpret_matches_scan():
     B = 96  # exercises the pad-to-1024 path
     sk = codec.clamp(jnp.asarray(
         rng.integers(0, 256, (B, 32), dtype=np.uint8)))
-    bits = codec.scalar_bits(sk)
+    cut = fold.cut8_bytes(sk)
 
-    s = edwards.base_point_mult(bits)
+    s = edwards.base_point_mult(cut)
     x_ref, y_ref = edwards.to_affine(s)
-    x_p, y_p = ek.base_mult_pallas(bits, mode="affine", interpret=True)
+    x_p, y_p = ek.base_mult_pallas(cut, mode="affine", interpret=True)
     assert np.array_equal(np.asarray(fe.to_bytes(x_p)),
                           np.asarray(fe.to_bytes(x_ref)))
     assert np.array_equal(np.asarray(fe.to_bytes(y_p)),
                           np.asarray(fe.to_bytes(y_ref)))
 
+    # packed-point mode: in-kernel canon + compression must equal the
+    # models-layer _pack of the affine result
+    pk_p = ek.base_mult_pallas(cut, mode="pk", interpret=True)
+    parity = np.asarray(fe.canon(x_ref))[..., 0] & 1
+    want_pk = np.asarray(fe.to_bytes(y_ref)).copy()
+    want_pk[..., 31] = (want_pk[..., 31] & 0x7F) | (parity << 7).astype(
+        np.uint8)
+    assert np.array_equal(np.asarray(pk_p), want_pk)
+
     u_ref = fe.mul(fe.add(s["z"], s["y"]), fe.inv(fe.sub(s["z"], s["y"])))
-    u_p, _ = ek.base_mult_pallas(bits, mode="mont_u", interpret=True)
+    u_p, _ = ek.base_mult_pallas(cut, mode="mont_u", interpret=True)
     assert np.array_equal(np.asarray(fe.to_bytes(u_p)),
                           np.asarray(fe.to_bytes(u_ref)))
+
+    # u_bytes mode: in-kernel enc(u)
+    ub_p = ek.base_mult_pallas(cut, mode="u_bytes", interpret=True)
+    assert np.array_equal(np.asarray(ub_p), np.asarray(fe.to_bytes(u_ref)))
 
 
 @pytest.mark.slow
@@ -129,10 +142,10 @@ def test_pallas_basemult_blinded_interpret():
     ctx = blinding.as_batch(blinding.blinding_init(b"kernel-blind-test"), (B,))
     t = sc.add(sc.mod(a), ctx["bl"])
     x_p, y_p = ek.base_mult_pallas(
-        codec.scalar_bits(sc.to_bytes(t)), zr=ctx["zr"], bp=ctx["bp"],
+        fold.cut8_limbs(t), zr=ctx["zr"], bp=ctx["bp"],
         mode="affine", interpret=True)
     x_ref, y_ref = edwards.to_affine(
-        edwards.base_point_mult(codec.scalar_bits(codec.clamp(seed))))
+        edwards.base_point_mult(fold.cut8_bytes(codec.clamp(seed))))
     assert np.array_equal(np.asarray(fe.to_bytes(x_p)),
                           np.asarray(fe.to_bytes(x_ref)))
     assert np.array_equal(np.asarray(fe.to_bytes(y_p)),
@@ -156,17 +169,13 @@ def test_pallas_poly_mult_interpret_matches_scan():
     from curve25519_tpu.ops import sc
     hmsg = jnp.concatenate([sig[..., :32], pk, msg], -1)
     h = sc.from_digest(sha512(hmsg, 64 + mlen))
-    s_bits = codec.scalar_bits(sig[..., 32:])
-    h_bits = codec.scalar_bits(sc.to_bytes(h))
+    u = fold.cut8_bytes(sig[..., 32:])
+    v = fold.cut4_limbs(h)
 
-    rx_ref, ry_ref = ed25519._poly_point_multiply(s_bits, h_bits,
-                                                  ctx["planes"])
-    rx_p, ry_p = vk.poly_mult_pallas(s_bits, h_bits, ctx["planes"],
-                                     interpret=True)
-    assert np.array_equal(np.asarray(fe.to_bytes(rx_p)),
-                          np.asarray(fe.to_bytes(rx_ref)))
-    assert np.array_equal(np.asarray(fe.to_bytes(ry_p)),
-                          np.asarray(fe.to_bytes(ry_ref)))
+    rx_ref, ry_ref = ed25519._poly_point_multiply(u, v, ctx["planes"])
+    want = np.asarray(ed25519._pack(rx_ref, ry_ref))
+    r_p = vk.poly_mult_pallas(u, v, ctx["planes"], interpret=True)
+    assert np.array_equal(np.asarray(r_p), want)
 
 
 @pytest.mark.slow
@@ -190,17 +199,13 @@ def test_pallas_poly_mult_shared_qt_interpret():
     hmsg = jnp.concatenate(
         [sig[..., :32], jnp.broadcast_to(pk, (B, 32)), msg], -1)
     h = sc.from_digest(sha512(hmsg, 64 + mlen))
-    s_bits = codec.scalar_bits(sig[..., 32:])
-    h_bits = codec.scalar_bits(sc.to_bytes(h))
+    u = fold.cut8_bytes(sig[..., 32:])
+    v = fold.cut4_limbs(h)
 
-    rx_ref, ry_ref = ed25519._poly_point_multiply(s_bits, h_bits,
-                                                  ctx["planes"])
-    rx_p, ry_p = vk.poly_mult_pallas(s_bits, h_bits, ctx["planes"],
-                                     interpret=True)
-    assert np.array_equal(np.asarray(fe.to_bytes(rx_p)),
-                          np.asarray(fe.to_bytes(rx_ref)))
-    assert np.array_equal(np.asarray(fe.to_bytes(ry_p)),
-                          np.asarray(fe.to_bytes(ry_ref)))
+    rx_ref, ry_ref = ed25519._poly_point_multiply(u, v, ctx["planes"])
+    want = np.asarray(ed25519._pack(rx_ref, ry_ref))
+    r_p = vk.poly_mult_pallas(u, v, ctx["planes"], interpret=True)
+    assert np.array_equal(np.asarray(r_p), want)
 
 
 @pytest.mark.slow
@@ -220,14 +225,12 @@ def test_pallas_verify_init_interpret_matches_scan():
     y_bytes, parity = codec.unpack_parity(pkj)
     arr, ok = vk.verify_init_pallas(fe.from_bytes(y_bytes), 1 - parity,
                                     interpret=True)
-    planes = tables.pe_planes_from_array(arr)
+    # kernel output is canonical by contract — assert the split needs no
+    # further reduction AND matches the jnp path's canon'd planes exactly
+    planes = tables.pe_planes_from_canonical(arr)
+    assert np.array_equal(np.asarray(planes),
+                          np.asarray(tables.pe_planes_from_array(arr)))
 
-    w = 4 * 20
-    def canon_bytes(p):
-        v = p.astype(jnp.int32)
-        vals = (v[..., :w] + (v[..., w:] << 7)).reshape(
-            p.shape[:-2] + (16, 4, 20))
-        return np.asarray(fe.to_bytes(vals))
-
-    assert np.array_equal(canon_bytes(planes), canon_bytes(ctx_ref["planes"]))
+    # both paths canonicalize, so the int8 planes are bit-identical
+    assert np.array_equal(np.asarray(planes), np.asarray(ctx_ref["planes"]))
     assert np.array_equal(np.asarray(ok), np.asarray(ctx_ref["ok"]))

@@ -14,11 +14,12 @@ from curve25519_tpu.ops import codec, fe
 rng = np.random.default_rng(21)
 
 
-def _bits_of_int(k, batch=None):
+def _cut8_of_int(k, batch=None):
+    from curve25519_tpu.ops import fold
     b = jnp.asarray(np.frombuffer(int(k).to_bytes(32, "little"), np.uint8))
     if batch is not None:
         b = jnp.broadcast_to(b, (batch, 32))
-    return codec.scalar_bits(b)
+    return fold.cut8_bytes(b)
 
 
 def _affine_ints(S):
@@ -29,9 +30,9 @@ def _affine_ints(S):
 
 def test_order_times_base_is_identity():
     # l*G == identity and (l-1)*G == -G  (selftest :752-767)
-    S = edwards.base_point_mult(_bits_of_int(ELL))
+    S = edwards.base_point_mult(_cut8_of_int(ELL))
     assert _affine_ints(S) == refmodel.IDENTITY
-    S = edwards.base_point_mult(_bits_of_int(ELL - 1))
+    S = edwards.base_point_mult(_cut8_of_int(ELL - 1))
     gx, gy = refmodel.BASE
     assert _affine_ints(S) == (P - gx, gy)       # -G
 
@@ -41,7 +42,7 @@ def test_split_key_ecdh():
     k1 = int.from_bytes(rng.bytes(32), "little") % ELL or 1
     k2 = pow(k1, ELL - 2, ELL)
     p1 = refmodel.base_mult(k1)
-    S = edwards.base_point_mult(_bits_of_int(k2))  # k2*G
+    S = edwards.base_point_mult(_cut8_of_int(k2))  # k2*G
     # check k2*(k1*G) via the oracle against our k2*G composed with oracle k1
     assert refmodel.scalar_mult(k1, _affine_ints(S)) == refmodel.BASE
     assert refmodel.scalar_mult(k2, p1) == refmodel.BASE
@@ -70,8 +71,8 @@ def test_scalar_mult_linearity():
     # selftest :969-983)
     a = int.from_bytes(rng.bytes(32), "little") % ELL
     b = int.from_bytes(rng.bytes(32), "little") % ELL
-    Sa = edwards.base_point_mult(_bits_of_int(a))
-    Sab = edwards.base_point_mult(_bits_of_int((a + b) % ELL))
+    Sa = edwards.base_point_mult(_cut8_of_int(a))
+    Sab = edwards.base_point_mult(_cut8_of_int((a + b) % ELL))
     sum_pt = refmodel.ed_add(_affine_ints(Sa), refmodel.base_mult(b))
     assert _affine_ints(Sab) == sum_pt
 
@@ -80,8 +81,8 @@ def test_edwards_mixed_form_consistency():
     # add_pe(P, to_pe(Q)) == add_pa(P, pa(Q)) == oracle P+Q for affine Q
     k1 = 12345678901234567890
     k2 = 98765432109876543210
-    Pq = edwards.base_point_mult(_bits_of_int(k1))
-    Qq = edwards.base_point_mult(_bits_of_int(k2))
+    Pq = edwards.base_point_mult(_cut8_of_int(k1))
+    Qq = edwards.base_point_mult(_cut8_of_int(k2))
     r1 = edwards.add_pe(Pq, edwards.to_pe(Qq))
     expect = refmodel.ed_add(refmodel.base_mult(k1), refmodel.base_mult(k2))
     assert _affine_ints(r1) == expect
@@ -100,7 +101,8 @@ def test_dual_point_multiply_identity():
     u = jnp.stack([jnp.asarray(int_to_limbs(v)) for v in u_ints])
 
     # A = u*G packed; verify_init negates it into the q_table
-    s = edwards.base_point_mult(codec.scalar_bits(sc.to_bytes(u)))
+    from curve25519_tpu.ops import fold
+    s = edwards.base_point_mult(fold.cut8_limbs(u))
     ax, ay = edwards.to_affine(s)
     a_packed = codec.pack_point(fe.to_bytes(ay), fe.canon(ax)[..., 0] & 1)
     ctx = ed25519.verify_init(a_packed)
@@ -108,8 +110,7 @@ def test_dual_point_multiply_identity():
 
     v = sc.mul(u, u)                      # v = u^2 mod l
     rx, ry = ed25519._poly_point_multiply(
-        codec.scalar_bits(sc.to_bytes(v)),
-        codec.scalar_bits(sc.to_bytes(u)), ctx["planes"])
+        fold.cut8_limbs(v), fold.cut4_limbs(u), ctx["planes"])
     # identity point: (x, y) = (0, 1)
     assert bool(np.all(np.asarray(fe.is_zero(rx))))
     assert bool(np.all(np.asarray(fe.eq(ry, fe.one(ry.shape[:-1])))))
@@ -185,12 +186,14 @@ def test_folding4_table_and_base_mult():
         assert limbs_to_int(t[idx, 1]) == (y - x) % P
         assert limbs_to_int(t[idx, 2]) == ED_2D * x * y % P
 
+    from curve25519_tpu.ops import fold
     k = int.from_bytes(rng.bytes(32), "little") % ELL
-    s4 = edwards.base_point_mult_fold4(_bits_of_int(k))
-    s8 = edwards.base_point_mult(_bits_of_int(k))
+    kb = jnp.asarray(np.frombuffer(int(k).to_bytes(32, "little"), np.uint8))
+    s4 = edwards.base_point_mult_fold4(fold.cut4_bytes(kb))
+    s8 = edwards.base_point_mult(_cut8_of_int(k))
     assert _affine_ints(s4) == _affine_ints(s8) == refmodel.base_mult(k)
 
     # zr randomization must not change the result
     zr = fe.from_int(0xDEADBEEF1234567)
-    s4r = edwards.base_point_mult_fold4(_bits_of_int(k), zr=zr)
+    s4r = edwards.base_point_mult_fold4(fold.cut4_bytes(kb), zr=zr)
     assert _affine_ints(s4r) == refmodel.base_mult(k)
