@@ -103,23 +103,16 @@ def parse_speed(output: str):
     if donna:
         rows["donna_point_mult"] = donna[0]
     for label, key in [("KeyGen", "keygen"), ("Sign", "sign")]:
-        ms = re.findall(rf"{label}:\s+(\d+) cycles = [^(]*(\(Blinded\))?",
-                        output)
-        plain = [int(c) for c, bl in ms if not bl]
-        blind = [int(c) for c, bl in ms if bl]
-        if plain:
-            rows[key] = plain[0]
-        if blind:
-            rows[key + "_blinded"] = blind[0]
-    vs = re.findall(r"Verify:\s+(\d+) cycles = [^(]*\n?", output)
-    vi = re.findall(r"Verify:\s+(\d+) cycles = .*\(Init\)", output)
-    vc = re.findall(r"^\s+(\d+) cycles = .*\(Check\)", output, re.M)
-    if vs:
-        rows["verify"] = int(vs[0])
-    if vi:
-        rows["verify_init"] = int(vi[0])
-    if vc:
-        rows["verify_check"] = int(vc[0])
+        for m in re.finditer(rf"{label}:\s+(\d+) cycles([^\n]*)", output):
+            c, rest = int(m.group(1)), m.group(2)
+            rows.setdefault(key + "_blinded" if "Blinded" in rest else key,
+                            c)
+    for m in re.finditer(r"Verify:\s+(\d+) cycles([^\n]*)", output):
+        c, rest = int(m.group(1)), m.group(2)
+        rows.setdefault("verify_init" if "Init" in rest else "verify", c)
+    mc = re.search(r"^\s+(\d+) cycles[^\n]*\(Check\)", output, re.M)
+    if mc:
+        rows["verify_check"] = int(mc.group(1))
     return rows
 
 

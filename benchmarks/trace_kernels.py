@@ -119,7 +119,10 @@ def main():
                 r = fn(*a)
             np.asarray(profiling.jax_leaf(r))
         dev = profiling.trace_device_events(logdir)
-        total = sum(d["total_us"] for d in dev.values())
+        # the jit_<fn> module span is the WHOLE device execution (op events
+        # nest inside it — summing everything would double count)
+        total = sum(d["total_us"] for k, d in dev.items()
+                    if k.startswith("jit_"))
         kern = sum(d["total_us"] for k, d in dev.items()
                    if k.startswith(KNOWN))
         print(json.dumps({

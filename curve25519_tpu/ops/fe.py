@@ -172,20 +172,28 @@ def neg(y):
 def _mul_cols(x, y):
     """Schoolbook product columns: cols[k] = sum_{i+j=k} x_i * y_j.
 
-    Anti-diagonal sums of the outer product via the pad/flatten/reshape shear
-    (row i of the [N, N] outer product lands shifted by i in a [N, 2N-1]
-    matrix) — static-shape ops only, one fused vectorized kernel under XLA.
-    Replaces the reference's sequential row accumulation
+    Computed column-directly as an unrolled sum of [batch]-shaped products
+    (400 elementwise mults XLA fuses into one kernel). The previous
+    outer-product + pad/flatten/reshape shear materialized [batch, n, 2n]
+    intermediates — ~300 MB of HBM traffic per 64K-batch sc.mul, the
+    largest single glue item on the sign path's device timeline (r4 trace).
+    Exact same per-column addition order (ascending i), so results are
+    bit-identical. Replaces the reference's sequential row accumulation
     (ecp_mul_set/ecp_mul_add, curve25519_mehdi.c:91-101)."""
     n = NLIMBS
     batch = jnp.broadcast_shapes(x.shape[:-1], y.shape[:-1])
-    outer = x[..., :, None] * y[..., None, :]           # [..., n, n]
-    outer = jnp.broadcast_to(outer, batch + (n, n))
-    padded = jnp.concatenate(
-        [outer, jnp.zeros(batch + (n, n), jnp.int32)], axis=-1)
-    flat = padded.reshape(batch + (2 * n * n,))[..., :2 * n * n - n]
-    sheared = flat.reshape(batch + (n, 2 * n - 1))
-    return jnp.sum(sheared, axis=-2)
+    x = jnp.broadcast_to(x, batch + (n,))
+    y = jnp.broadcast_to(y, batch + (n,))
+    xs = [x[..., i] for i in range(n)]
+    ys = [y[..., j] for j in range(n)]
+    cols = []
+    for k in range(2 * n - 1):
+        acc = None
+        for i in range(max(0, k - n + 1), min(n, k + 1)):
+            t = xs[i] * ys[k - i]
+            acc = t if acc is None else acc + t
+        cols.append(acc)
+    return jnp.stack(cols, axis=-1)
 
 
 def mul(x, y):

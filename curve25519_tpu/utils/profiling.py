@@ -41,9 +41,20 @@ def bench(fn, *args, reps=8, rounds=3, warmup=True):
         t0 = time.perf_counter()
         for _ in range(reps):
             r = fn(*args)
-        np.asarray(jax_leaf(r))
+        np.asarray(_scalar_probe(jax_leaf(r)))
         best = min(best, (time.perf_counter() - t0) / reps)
     return best
+
+
+def _scalar_probe(leaf):
+    """One ELEMENT of the last result, not the whole buffer: fetching a
+    64K-lane output through the tunnel costs tens of ms (~40 MB/s measured),
+    which the old full-array fetch silently charged to the timed round.
+    The element still syncs the FIFO stream, so it bounds all reps."""
+    try:
+        return leaf[(0,) * leaf.ndim]
+    except TypeError:         # non-indexable leaf (python scalar)
+        return leaf
 
 
 def jax_leaf(tree):
