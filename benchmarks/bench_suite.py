@@ -150,23 +150,41 @@ def main():
 
     # the reference's remaining single-op records (folding paths,
     # README.md:70-71,86-97) — contested by the native folding-8 fast path
-    # (bit-identical to the JAX path; pinned by tests/test_native_oracle.py)
+    # (bit-identical to the JAX path; pinned by tests/test_native_oracle.py).
+    # Timed at the C-ABI boundary with preallocated buffers, matching what
+    # the reference's speed_test times (the C call, test/curve25519_test.c:
+    # 159-166) — the python-bytes convenience wrappers add ~2-3 us/call of
+    # FFI buffer copies that are not part of the op.
+    import ctypes
     sk0 = bytes(np.asarray(sk[0]))
     seed0 = bytes(np.asarray(seed[0]))
     msg0 = bytes(np.asarray(msg[0]))
     assert nb.x25519_base_fast(sk0) == orc.x25519_base(sk0)
-    tpf = bench_host(lambda: nb.x25519_base_fast(sk0))
+    pk0, priv0 = nb.ed25519_keypair_fast(seed0)
+    assert (pk0, priv0) == orc.ed_keypair(seed0)
+    assert nb.ed25519_sign_fast(priv0, msg0) == orc.ed_sign(priv0, msg0)
+    lib = nb.load()
+    c_sk = (ctypes.c_uint8 * 32)(*seed0)
+    c_pk = (ctypes.c_uint8 * 32)()
+    c_priv = (ctypes.c_uint8 * 64)(*priv0)
+    c_sig = (ctypes.c_uint8 * 64)()
+    c_msg = (ctypes.c_uint8 * 64)(*msg0)
+    c_out = (ctypes.c_uint8 * 32)()
+    tpf = bench_host(lambda: lib.c25519_x25519_base_fast(c_out, c_sk),
+                     n=20000)
     emit("x25519_public_key_fast_single", 1.0 / tpf,
          {"batch": 1, "path": "native-host-fold8",
           "latency_us": round(tpf * 1e6, 2), **ver})
-    pk0, priv0 = nb.ed25519_keypair_fast(seed0)
-    assert (pk0, priv0) == orc.ed_keypair(seed0)
-    tkg = bench_host(lambda: nb.ed25519_keypair_fast(seed0))
+    tkg = bench_host(
+        lambda: lib.c25519_ed25519_keypair_fast(c_pk, c_priv, c_sk),
+        n=20000)
     emit("ed25519_keygen_single", 1.0 / tkg,
          {"batch": 1, "path": "native-host-fold8",
           "latency_us": round(tkg * 1e6, 2), **ver})
-    assert nb.ed25519_sign_fast(priv0, msg0) == orc.ed_sign(priv0, msg0)
-    tsg = bench_host(lambda: nb.ed25519_sign_fast(priv0, msg0))
+    c_priv = (ctypes.c_uint8 * 64)(*priv0)      # keypair_fast overwrote it
+    tsg = bench_host(
+        lambda: lib.c25519_ed25519_sign_fast(c_sig, c_priv, c_msg, 64),
+        n=20000)
     emit("ed25519_sign_single", 1.0 / tsg,
          {"batch": 1, "path": "native-host-fold8",
           "latency_us": round(tsg * 1e6, 2), **ver})
@@ -296,38 +314,36 @@ def main():
     del ctx_m, sig_m, msg_m, pk_m, priv_m, seeds_m
 
     # long-message SHA-512: the chunked kernel streams CHUNK_BLOCKS-block
-    # chunks, so VMEM holds O(chunk) while messages are 1 MiB. Runs in
-    # SUB-BATCHES of 256 messages to bound peak HBM (a single 1024 x 1 MiB
-    # leg materializes ~2 GiB of intermediates — ADVICE r3). Data is
-    # generated on-device; value is hashed bytes/s over actual lengths.
+    # chunks, so VMEM holds O(chunk) while messages are 1 MiB. One full
+    # 1024-lane leg (sub-batching below a whole tile wastes 3/4 of the VPU
+    # lanes — measured 2.3x slower); the ~2.5 GiB of peak HBM this
+    # materializes (messages + packed words + mask intermediates) is noted
+    # in the record for smaller-HBM chips (ADVICE r3). Data is generated
+    # on-device; value is hashed bytes/s over actual lengths.
     import hashlib as _hl
-    Bl, Ll, SUB = 1024, 1 << 20, 256
+    Bl, Ll = 1024, 1 << 20
     f = jax.jit(sha512)
-    total_bytes, total_secs = 0, 0.0
-    first = True
-    for s0 in range(0, Bl, SUB):
-        key = jax.random.PRNGKey(7 + s0)
-        lmsg = jax.random.randint(key, (SUB, Ll), 0, 256, jnp.uint8)
-        llen = jnp.concatenate([
-            jnp.asarray([0, 1, 111, Ll - 1], jnp.int32),
-            jax.random.randint(jax.random.PRNGKey(8 + s0), (SUB - 5,), 0,
-                               Ll + 1, jnp.int32),
-            jnp.asarray([Ll], jnp.int32)])
-        if first:
-            dig = np.asarray(f(lmsg, llen)[:NV])
-            rows = np.asarray(lmsg[:NV])
-            lens_h = np.asarray(llen[:NV])
-            check_rows("sha512_long", dig,
-                       [_hl.sha512(rows[i, :lens_h[i]].tobytes()).digest()
-                        for i in range(NV)])
-            first = False
-        total_bytes += int(np.asarray(llen).astype(np.int64).sum())
-        total_secs += bench_chain(f, (lmsg, llen), 2, rounds=2)
-        del lmsg, llen
-    emit("sha512_long", total_bytes / total_secs,
+    key = jax.random.PRNGKey(7)
+    lmsg = jax.random.randint(key, (Bl, Ll), 0, 256, jnp.uint8)
+    llen = jnp.concatenate([
+        jnp.asarray([0, 1, 111, Ll - 1], jnp.int32),
+        jax.random.randint(jax.random.PRNGKey(8), (Bl - 5,), 0, Ll + 1,
+                           jnp.int32),
+        jnp.asarray([Ll], jnp.int32)])
+    dig = np.asarray(f(lmsg, llen)[:NV])
+    rows = np.asarray(lmsg[:NV])
+    lens_h = np.asarray(llen[:NV])
+    check_rows("sha512_long", dig,
+               [_hl.sha512(rows[i, :lens_h[i]].tobytes()).digest()
+                for i in range(NV)])
+    total_bytes = int(np.asarray(llen).astype(np.int64).sum())
+    secs = bench_chain(f, (lmsg, llen), max(2, reps // 2))
+    emit("sha512_long", total_bytes / secs,
          {"batch": Bl, "msg_mib": 1, "unit_note": "bytes/s",
           "total_mib": round(total_bytes / 2**20, 1),
-          "sub_batches": Bl // SUB, **ver})
+          "hbm_peak_note": "~2.5 GiB intermediates; needs a >=4 GiB-HBM "
+          "chip or a smaller --batch", **ver})
+    del lmsg, llen
 
     # config 5 (single-chip leg): mixed DH + sign + verify pipeline; the
     # multi-host form shards this over a Mesh (parallel/mesh.py,
