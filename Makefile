@@ -51,6 +51,16 @@ bench-all:
 bench-trace:
 	$(PY) benchmarks/trace_kernels.py
 
+# edge/RFC/selftest vector corpus through the COMPILED kernels on the chip
+# (TPU_VECTORS artifacts; exits non-zero on any oracle disagreement)
+tpu-vectors:
+	$(PY) benchmarks/tpu_vectors.py
+
+# measure the reference library on THIS host -> BASELINE_LOCAL.{md,json}
+# (bench_suite reads its vs_baseline columns from the json)
+baseline-local:
+	$(PY) benchmarks/measure_local_baseline.py
+
 clean:
 	rm -f curve25519_tpu/native/libref25519.so
 	find . -name __pycache__ -type d -exec rm -rf {} +

@@ -64,12 +64,16 @@ def chain(x_t, y_t, op, n):
     )(x_t, y_t)
 
 
-def _time(fn, reps=5):
+def _time(fn, reps=7):
     fn()  # compile + warm
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        np.asarray(fn())  # host fetch closes the dispatch chain
+        # fetch ONE element: it still closes the dispatch chain (FIFO), but
+        # a full [G, 20, 8, 128] fetch costs ~16 ms at the tunnel's
+        # ~40 MB/s with enough variance to swamp the chain-length delta
+        # (negative slopes observed)
+        np.asarray(fn()[0, 0, 0, 0])
         best = min(best, time.perf_counter() - t0)
     return best
 

@@ -308,10 +308,48 @@ def verify_check(ctx, sig, msg, msg_len=None, strict=False):
 
 
 def verify(sig, pk, msg, msg_len=None, strict=False):
-    """One-shot verify = verify_init + verify_check.
-    Reference ed25519_VerifySignature (ed25519_verify.c:163-173)."""
-    return verify_check(verify_init(pk), sig, msg, msg_len=msg_len,
-                        strict=strict)
+    """One-shot verify. Reference ed25519_VerifySignature
+    (ed25519_verify.c:163-173).
+
+    On the TPU path this is a single FUSED kernel launch (decompress +
+    192-double q_table build + poly multiply + point compression) — the
+    q_table never leaves VMEM, where the two-phase route materializes
+    [B, 16, 160] int8 planes through HBM between two launches. Callers
+    amortizing one pubkey over many messages should still use
+    verify_init/verify_check. The portable path composes the two phases."""
+    from curve25519_tpu.ops.pallas import use_pallas
+    sig = jnp.asarray(sig, dtype=jnp.uint8)
+    pk = jnp.asarray(pk, dtype=jnp.uint8)
+    msg = jnp.asarray(msg, dtype=jnp.uint8)
+    batch = jnp.broadcast_shapes(msg.shape[:-1], sig.shape[:-1],
+                                 pk.shape[:-1])
+    if not use_pallas(batch):
+        return verify_check(verify_init(pk), sig, msg, msg_len=msg_len,
+                            strict=strict)
+
+    from curve25519_tpu.ops.pallas import verify_kernel
+    L = msg.shape[-1]
+    if msg_len is None:
+        msg_len = jnp.full(batch, L, jnp.int32)
+    hpfx = jnp.concatenate([
+        jnp.broadcast_to(sig[..., :32], batch + (32,)),
+        jnp.broadcast_to(pk, batch + (32,))], -1)
+    h = sc.from_digest(sha512(
+        jnp.broadcast_to(msg, batch + (L,)), msg_len, prefix=hpfx))
+    u = jnp.broadcast_to(fold.cut8_bytes(sig[..., 32:]), batch + (32,))
+    v = fold.cut4_limbs(h)
+    y_bytes, parity = codec.unpack_parity(jnp.broadcast_to(pk,
+                                                           batch + (32,)))
+    r_bytes, ok = verify_kernel.verify_oneshot_pallas(
+        fe.from_bytes(y_bytes), 1 - parity, u, v)
+    match = jnp.all(r_bytes == jnp.broadcast_to(sig[..., :32],
+                                                batch + (32,)), axis=-1)
+    result = jnp.logical_and(match, ok)
+    if strict:
+        s_red = sc.mod(fe.from_bytes(sig[..., 32:]))
+        canonical = jnp.all(sc.to_bytes(s_red) == sig[..., 32:], axis=-1)
+        result = jnp.logical_and(result, canonical)
+    return result
 
 
 def _select_point(mask, a, b):

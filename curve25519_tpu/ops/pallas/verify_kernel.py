@@ -29,7 +29,8 @@ from curve25519_tpu.ops.pallas import edwards_kernel as ek
 from curve25519_tpu.ops.pallas import fe_tile as ft
 
 __all__ = ["poly_mult_tiled", "poly_mult_tiled_shared", "poly_mult_pallas",
-           "qplanes_shared", "verify_init_tiled", "verify_init_pallas"]
+           "qplanes_shared", "verify_init_tiled", "verify_init_pallas",
+           "verify_oneshot_tiled", "verify_oneshot_pallas"]
 
 _QROWS = 4 * NLIMBS          # ypx, ymx, t2d, z2 limbs per q_table entry
 
@@ -314,6 +315,133 @@ def verify_init_pallas(y_limbs, parity, interpret=False):
     qt = ft.untile_lanes(qt_t)[:b].reshape(b, 16, 4, NLIMBS)
     ok = ft.untile_lanes(ok_t)[:b, 0] != 0
     return unflatten(qt), unflatten(ok)
+
+
+def _oneshot_kernel(y_ref, par_ref, u_ref, v_ref, planes_ref, orb_ref,
+                    ook_ref):
+    """Fused one-shot verify: pubkey decompression, the 192-double q_table
+    build, AND the s*G + h*(-Q) poly multiply in a single launch. The
+    q_table never leaves VMEM — no int8 plane split, no [B, 16, 160] HBM
+    round trip, one kernel launch instead of two (the fixed-shape fusion of
+    ed25519_VerifySignature, ed25519_verify.c:163-173)."""
+    from curve25519_tpu.config import ED_D, ED_2D
+    pad = ft.t_pad()
+    y = y_ref[0]
+    parity = par_ref[0, 0]
+    zero = y - y
+    one = zero + ft.t_const(int_to_limbs(1))
+    d_c = jnp.broadcast_to(ft.t_const(int_to_limbs(ED_D)), y.shape)
+    two_d = jnp.broadcast_to(ft.t_const(int_to_limbs(ED_2D)), y.shape)
+
+    # decompress -Q (ed25519_CalculateX + parity flip)
+    y2 = ft.t_sqr(y)
+    uu = ft.t_sub(y2, one, pad)
+    vv = ft.t_add(ft.t_mul(y2, d_c), one)
+    x, ok = _t_sqrt_ratio(uu, vv, pad)
+    xc = ft.t_canon(x)
+    flip = ((xc[0] ^ parity) & 1) == 1
+    x = ft.t_select(flip, ft.t_neg(xc, pad), xc)
+    q = (x, y, one, ft.t_mul(x, y))
+
+    two = ft.t_add(one, one)
+    qt = [None] * 16
+    qt[0] = (one, one, zero, two)
+    qt[1] = _to_pe(q, pad, two_d)
+
+    def dbl64(_, st):
+        return ek._double(st, pad)
+
+    for base, srcs in ((2, (1,)), (4, (1, 2, 3)),
+                       (8, (1, 2, 3, 4, 5, 6, 7))):
+        q = jax.lax.fori_loop(0, 64, dbl64, q)
+        qt[base] = _to_pe(q, pad, two_d)
+        for s in srcs:
+            qt[base + s] = _to_pe(ek._add_pe(q, *qt[s], pad), pad, two_d)
+
+    entries = [jnp.concatenate(e, axis=0) for e in qt]   # [_QROWS, S, L]
+
+    def gather_qt(idx):
+        return _gather_qt(entries, idx)
+
+    planes = planes_ref[...]
+    ypx, ymx, t2d, z2 = gather_qt(v_ref[0, 0])
+    xx = ft.t_sub(ypx, ymx, pad)
+    yy = ft.t_add(ypx, ymx)
+    di = jnp.broadcast_to(ft.t_const(int_to_limbs(ED_DI)), t2d.shape)
+    st = (xx, yy, z2, ft.t_mul(t2d, di))
+
+    def step1(i, st):
+        st = ek._double(st, pad)
+        return ek._add_pe(st, *gather_qt(v_ref[0, i]), pad)
+
+    st = jax.lax.fori_loop(1, 32, step1, st)
+
+    def step2(i, st):
+        st = ek._double(st, pad)
+        st = ek._add_pa(st, *ek._gather_pa(planes, u_ref[0, i - 32]), pad)
+        return ek._add_pe(st, *gather_qt(v_ref[0, i]), pad)
+
+    st = jax.lax.fori_loop(32, 64, step2, st)
+
+    xx, yy, zz, _ = st
+    zi = ft.t_inv(zz)
+    orb_ref[0] = ft.t_pack_point(ft.t_mul(xx, zi), ft.t_mul(yy, zi))
+    ook_ref[0, 0] = ok.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def verify_oneshot_tiled(y_t, par_t, u_t, v_t, interpret=False):
+    """y_t: [G, NLIMBS, 8, 128] pubkey y limbs; par_t: [G, 1, 8, 128]
+    inverted parity; u_t: [G, 32, ...] 8-fold digits of s; v_t: [G, 64, ...]
+    4-fold digits of h. Returns (enc(R') rows [G, 32, 8, 128] int32,
+    ok [G, 1, 8, 128] int32)."""
+    g = y_t.shape[0]
+
+    def spec(k):
+        return pl.BlockSpec((1, k, ft.TILE_S, ft.TILE_L),
+                            lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+
+    planes_spec = pl.BlockSpec((2 * ek._W, 256), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _oneshot_kernel,
+        grid=(g,),
+        in_specs=[spec(NLIMBS), spec(1), spec(32), spec(64), planes_spec],
+        out_specs=(spec(32), spec(1)),
+        out_shape=(
+            jax.ShapeDtypeStruct((g, 32, ft.TILE_S, ft.TILE_L), jnp.int32),
+            jax.ShapeDtypeStruct((g, 1, ft.TILE_S, ft.TILE_L), jnp.int32)),
+        interpret=interpret,
+    )(y_t, par_t, u_t, v_t, ek.folding8_planes_T())
+
+
+def verify_oneshot_pallas(y_limbs, parity, u, v, interpret=False):
+    """Batched fused one-shot verify. y_limbs: [..., NLIMBS] pubkey y;
+    parity: [...] int32 (inverted, for -Q); u: [..., 32]; v: [..., 64].
+    Returns (enc(R') bytes [..., 32] uint8, ok [...] bool)."""
+    from curve25519_tpu.ops.pallas import flatten_batch
+
+    batch = y_limbs.shape[:-1]
+    b, unflatten = flatten_batch(batch)
+    y_limbs = y_limbs.reshape(b, NLIMBS)
+    parity = jnp.broadcast_to(parity, batch).reshape(b)
+    u = jnp.broadcast_to(u, batch + (32,)).reshape(b, 32)
+    v = jnp.broadcast_to(v, batch + (64,)).reshape(b, 64)
+    bpad = ((b + ft.TILE_BATCH - 1) // ft.TILE_BATCH) * ft.TILE_BATCH
+    g = bpad // ft.TILE_BATCH
+
+    def padd(x):
+        return jnp.concatenate(
+            [x, jnp.zeros((bpad - b, x.shape[-1]), x.dtype)], 0)
+
+    r_t, ok_t = verify_oneshot_tiled(
+        ft.tile_lanes(padd(y_limbs), g),
+        ft.tile_lanes(padd(parity.astype(jnp.int32)[:, None]), g),
+        ft.tile_lanes(padd(u), g), ft.tile_lanes(padd(v), g),
+        interpret=interpret)
+    r = ft.untile_lanes(r_t)[:b].astype(jnp.uint8)
+    ok = ft.untile_lanes(ok_t)[:b, 0] != 0
+    return unflatten(r), unflatten(ok)
 
 
 def poly_mult_pallas(u, v, planes, interpret=False):

@@ -209,6 +209,53 @@ def test_pallas_poly_mult_shared_qt_interpret():
 
 
 @pytest.mark.slow
+def test_pallas_verify_oneshot_fused_interpret():
+    """The fused one-shot kernel (decompress + q_table + poly multiply in
+    one launch, q_table VMEM-resident) must be bit-exact vs the two-phase
+    jnp path on valid, tampered, and invalid-pk lanes."""
+    from curve25519_tpu.models import ed25519
+    from curve25519_tpu.ops.pallas import verify_kernel as vk
+    from curve25519_tpu.ops.sha512 import sha512
+
+    B = 24
+    seed = jnp.asarray(rng.integers(0, 256, (B, 32), dtype=np.uint8))
+    msg = jnp.asarray(rng.integers(0, 256, (B, 32), dtype=np.uint8))
+    mlen = jnp.full((B,), 32, jnp.int32)
+    pk, priv = ed25519.create_keypair(seed)
+    sig = ed25519.sign(priv, msg, mlen)
+    # lane 0: tampered sig; lane 1: invalid pk
+    sig = sig.at[0, 3].set(sig[0, 3] ^ 1)
+    pk_np = np.asarray(pk).copy()
+    pk_np[1] = 2  # y = 2 is not on the curve
+    pk_np[1, 1:] = 0
+    pkj = jnp.asarray(pk_np)
+
+    want = np.asarray(ed25519.verify(sig, pkj, msg, mlen))  # CPU jnp path
+    assert not want[0] and not want[1] and want[2:].all()
+
+    hpfx = jnp.concatenate([sig[..., :32], pkj], -1)
+    h = sc.from_digest(sha512(msg, mlen, prefix=hpfx))
+    y_bytes, parity = codec.unpack_parity(pkj)
+    r_bytes, ok = vk.verify_oneshot_pallas(
+        fe.from_bytes(y_bytes), 1 - parity,
+        fold.cut8_bytes(sig[..., 32:]), fold.cut4_limbs(h),
+        interpret=True)
+    got = np.logical_and(
+        np.all(np.asarray(r_bytes) == np.asarray(sig[..., :32]), axis=-1),
+        np.asarray(ok))
+    assert np.array_equal(got, want)
+    # byte-level: where the pk decodes, enc(R') must equal the two-phase
+    # kernel's bytes
+    ctx = ed25519.verify_init(pkj)
+    u = fold.cut8_bytes(sig[..., 32:])
+    rx, ry = ed25519._poly_point_multiply(u, fold.cut4_limbs(h),
+                                          ctx["planes"])
+    want_r = np.asarray(ed25519._pack(rx, ry))
+    okm = np.asarray(ctx["ok"])
+    assert np.array_equal(np.asarray(r_bytes)[okm], want_r[okm])
+
+
+@pytest.mark.slow
 def test_pallas_verify_init_interpret_matches_scan():
     """Verify_Init kernel (decompress + 192-double q_table build) vs the jnp
     path, including an invalid (non-point) pubkey lane."""
