@@ -12,8 +12,8 @@ x25519_BasePointMultiply, source/curve25519_dh.c:162-179).
 
 The secret-indexed 256-entry table lookup — the reference's acknowledged
 constant-time gap (a data-dependent load, SURVEY.md §3.2) — becomes a
-one-hot bf16 matmul on the MXU: the table's weak-all limbs are split into
-two 7-bit planes (values <= 127, exact in bf16), laid out as a [2*W, 256]
+one-hot int8 matmul on the MXU: the table's weak-all limbs are split into
+two 7-bit planes (values <= 127, exact in int8), laid out as a [2*W, 256]
 operand, and each fold step contracts it with the per-lane one-hot
 [256, 1024] matrix. The MXU does the gather while the VPU does the field
 arithmetic; secrets never index memory.
@@ -50,7 +50,7 @@ _CUTS = 32
 
 @functools.lru_cache(maxsize=None)
 def _planes_T_np(nfolds):
-    """[2*_W, 2^nfolds] f32: the folding table, 7-bit plane-split and
+    """[2*_W, 2^nfolds] int8: the folding table, 7-bit plane-split and
     transposed for the in-kernel one-hot matmul. Row r < _W = lo 7 bits of
     flattened limb r (coords ypx/ymx/t2d, 20 limbs each); row _W + r = high
     bits. nfolds=8 -> the 256-entry table, nfolds=4 -> the 16-entry one
@@ -63,11 +63,11 @@ def _planes_T_np(nfolds):
     padded = np.zeros((nent, _W), np.int32)
     padded[:, :3 * NLIMBS] = t
     planes = np.concatenate([padded & 0x7F, padded >> 7], axis=1)
-    return planes.T.astype(np.float32)
+    return planes.T.astype(np.int8)
 
 
 def folding_planes_T(nfolds=8):
-    return jnp.asarray(_planes_T_np(nfolds), jnp.bfloat16)
+    return jnp.asarray(_planes_T_np(nfolds), jnp.int8)
 
 
 def folding8_planes_T():
@@ -77,17 +77,19 @@ def folding8_planes_T():
 def _gather_pa(planes, idx):
     """Constant-time table fetch for all 1024 lanes of one tile.
 
-    planes: [2*_W, nent] bf16; idx: [8, 128] int32 in [0, nent).
+    planes: [2*_W, nent] int8; idx: [8, 128] int32 in [0, nent).
     Returns (ypx, ymx, t2d) limb tiles [NLIMBS, 8, 128] int32. Exact: 7-bit
-    plane values and one-hot entries are both bf16-exact, accumulation is
-    f32 on the MXU."""
+    plane values and one-hot entries both fit int8, and the MXU accumulates
+    int8 x int8 into int32 directly — no float conversion on either
+    operand (measured slightly faster than the bf16 form, and half the
+    VMEM for the table)."""
     nent = planes.shape[-1]
     iota = jax.lax.broadcasted_iota(jnp.int32, (nent, ft.TILE_S, ft.TILE_L), 0)
-    oh = (iota == idx[None]).astype(jnp.bfloat16)
+    oh = (iota == idx[None]).astype(jnp.int8)
     oh = oh.reshape(nent, ft.TILE_BATCH)                      # [nent, 1024]
-    flat = jax.lax.dot(planes, oh,
-                       preferred_element_type=jnp.float32)    # [128, 1024]
-    vals = flat.reshape(2 * _W, ft.TILE_S, ft.TILE_L).astype(jnp.int32)
+    vals = jax.lax.dot(planes, oh,
+                       preferred_element_type=jnp.int32)      # [128, 1024]
+    vals = vals.reshape(2 * _W, ft.TILE_S, ft.TILE_L)
     limbs = vals[:_W] + (vals[_W:] << 7)
     return (limbs[:NLIMBS], limbs[NLIMBS:2 * NLIMBS],
             limbs[2 * NLIMBS:3 * NLIMBS])

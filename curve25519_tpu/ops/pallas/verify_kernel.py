@@ -7,7 +7,7 @@ table interleaved with 4-folds of h against the per-key 16-entry q_table,
 final affine normalization — all in one kernel launch per 1024-lane tile.
 
 Two different constant-time gathers per step:
-- the 256-entry base folding table is shared by every lane → one-hot bf16
+- the 256-entry base folding table is shared by every lane → one-hot int8
   matmul on the MXU (same as edwards_kernel._gather_pa);
 - the 16-entry q_table differs per lane (it is the per-pubkey Verify_Init
   precompute) → a 4-level branchless select tree on the VPU over the
@@ -68,15 +68,15 @@ def _gather_qt(entries, idx):
 
 
 def _gather_qt_shared(qplanes, idx):
-    """Shared-pk q_table fetch: one-hot bf16 matmul against the single
+    """Shared-pk q_table fetch: one-hot int8 matmul against the single
     [2*_QROWS, 16] plane operand every lane shares (same MXU trick as the
     base folding table, edwards_kernel._gather_pa). Exact: plane values are
-    <= 127 and one-hot entries are bf16-exact; accumulation is f32."""
+    <= 127 and one-hot entries fit int8; the MXU accumulates into int32."""
     iota = jax.lax.broadcasted_iota(jnp.int32, (16, ft.TILE_S, ft.TILE_L), 0)
-    oh = (iota == idx[None]).astype(jnp.bfloat16).reshape(16, ft.TILE_BATCH)
-    flat = jax.lax.dot(qplanes, oh,
-                       preferred_element_type=jnp.float32)  # [2*_QROWS, 1024]
-    vals = flat.reshape(2 * _QROWS, ft.TILE_S, ft.TILE_L).astype(jnp.int32)
+    oh = (iota == idx[None]).astype(jnp.int8).reshape(16, ft.TILE_BATCH)
+    vals = jax.lax.dot(qplanes, oh,
+                       preferred_element_type=jnp.int32)  # [2*_QROWS, 1024]
+    vals = vals.reshape(2 * _QROWS, ft.TILE_S, ft.TILE_L)
     q = vals[:_QROWS] + (vals[_QROWS:] << 7)
     return (q[:NLIMBS], q[NLIMBS:2 * NLIMBS],
             q[2 * NLIMBS:3 * NLIMBS], q[3 * NLIMBS:])
@@ -87,7 +87,7 @@ def _poly_kernel(u_ref, v_ref, qt_ref, planes_ref, orb_ref, *,
     pad = ft.t_pad()
     planes = planes_ref[...]
     if shared_qt:
-        qp = qt_ref[...].astype(jnp.bfloat16)
+        qp = qt_ref[...]
 
         def gather_qt(idx):
             return _gather_qt_shared(qp, idx)
@@ -158,7 +158,7 @@ def poly_mult_tiled(u_t, v_t, qt_t, interpret=False):
 def poly_mult_tiled_shared(u_t, v_t, qplanes, interpret=False):
     """Shared-pk variant: one q_table for every lane (the common one-pk ×
     many-messages amortization Verify_Init exists for,
-    ed25519_verify.c:179-232). qplanes: [2*_QROWS, 16] bf16 plane operand —
+    ed25519_verify.c:179-232). qplanes: [2*_QROWS, 16] int8 plane operand —
     ~5 KB total instead of 2.5 KB *per lane* of HBM traffic."""
     g = u_t.shape[0]
 
@@ -183,12 +183,12 @@ def poly_mult_tiled_shared(u_t, v_t, qplanes, interpret=False):
 
 
 def qplanes_shared(planes):
-    """[16, 8*NLIMBS] int8 ctx planes -> the [2*_QROWS, 16] bf16 operand for
+    """[16, 8*NLIMBS] int8 ctx planes -> the [2*_QROWS, 16] int8 operand for
     the shared-pk MXU gather. Rows 0.._QROWS-1 are the lo-7-bit planes of
     each entry's (ypx, ymx, t2d, z2) limbs, rows _QROWS.. the hi bits —
     matching the per-entry lo/hi row layout _unpack_qt consumes."""
-    lo = planes[:, :_QROWS].astype(jnp.bfloat16)     # [16, _QROWS]
-    hi = planes[:, _QROWS:].astype(jnp.bfloat16)
+    lo = planes[:, :_QROWS]                          # [16, _QROWS] int8
+    hi = planes[:, _QROWS:]
     return jnp.concatenate([lo.T, hi.T], axis=0)     # [2*_QROWS, 16]
 
 
@@ -452,7 +452,7 @@ def poly_mult_pallas(u, v, planes, interpret=False):
     Verify_Init context's plane-split q_table (models/ed25519.verify_init).
     Any batch shape — leading axes are flattened and restored. An *unbatched*
     planes array (ndim == 2: one pk shared by the whole batch) routes to the
-    shared-operand kernel, which ships the q_table once as a bf16 MXU operand
+    shared-operand kernel, which ships the q_table once as an int8 MXU operand
     instead of 2.5 KB per lane. Returns enc(R') bytes [..., 32] uint8 (canon
     + point compression run in-kernel)."""
     from curve25519_tpu.ops.pallas import flatten_batch
