@@ -101,7 +101,8 @@ def main():
     # Pallas-kernel share of it; the difference is inter-kernel glue
     # (codecs, relayouts, fusions) running on-device between kernels.
     KNOWN = ("ladder_tiled", "base_mult_tiled", "poly_mult_tiled",
-             "verify_init_tiled", "sha512_blocks_tiled")
+             "verify_init_tiled", "sha512_blocks_tiled",
+             "keygen_tiled", "sign_tiled", "verify_oneshot_tiled")
     e2e = {
         "ed25519_keygen": (jax.jit(ed25519.create_keypair), (sk,)),
         "ed25519_sign": (jax.jit(ed25519.sign), (priv, msg, mlen)),

@@ -127,8 +127,19 @@ def _base_mult_pk(a_limbs, blinding):
 # ---------------------------------------------------------------------------
 def create_keypair(sk, blinding=None):
     """(pubkey[...,32], privkey[...,64]) from 32-byte secret seeds.
-    Reference ed25519_CreateKeyPair (ed25519_sign.c:344-367)."""
+    Reference ed25519_CreateKeyPair (ed25519_sign.c:344-367).
+
+    On the TPU path (no blinding) the whole derivation — SHA-512, clamp,
+    fold cut, folding base mult, point compression — is ONE fused kernel
+    launch (ops/pallas/sign_kernel.py); the multi-launch composition below
+    is its bit-exact jnp twin and the blinded route."""
+    from curve25519_tpu.ops.pallas import use_pallas
     sk = jnp.asarray(sk, dtype=jnp.uint8)
+    if blinding is None and use_pallas(sk.shape[:-1]):
+        from curve25519_tpu.models.blinding import default_zr
+        from curve25519_tpu.ops.pallas import sign_kernel
+        pk = sign_kernel.keygen_fused_pallas(sk, zr=default_zr())
+        return pk, jnp.concatenate([sk, pk], axis=-1)
     md = sha512(sk)                              # [..., 64]
     a_bytes = codec.clamp(md[..., :32])
     a = fe.from_bytes(a_bytes)
@@ -147,6 +158,18 @@ def sign(priv, msg, msg_len=None, blinding=None):
     L = msg.shape[-1]
     if msg_len is None:
         msg_len = jnp.full(batch, L, jnp.int32)
+
+    # TPU fast path: the whole protocol (3 SHA-512 runs, digest reduction
+    # mod l, fold cut, base mult, S = h*a + r) in ONE kernel launch, for
+    # messages within the fused VMEM block budget; bit-exact with the
+    # composition below (tests/test_pallas_kernels.py)
+    from curve25519_tpu.ops.pallas import use_pallas
+    if blinding is None and use_pallas(batch):
+        from curve25519_tpu.ops.pallas import sign_kernel
+        if sign_kernel.max_fused_msg_len(L):
+            from curve25519_tpu.models.blinding import default_zr
+            return sign_kernel.sign_fused_pallas(
+                priv, msg, msg_len, zr=default_zr())
 
     md = sha512(priv[..., :32])
     a = fe.from_bytes(codec.clamp(md[..., :32]))

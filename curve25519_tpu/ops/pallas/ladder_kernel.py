@@ -21,14 +21,24 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from curve25519_tpu.config import A24, BITS, NLIMBS
+from curve25519_tpu.config import A24, NLIMBS
 from curve25519_tpu.ops import codec, fe
 from curve25519_tpu.ops.pallas import fe_tile as ft
 
 __all__ = ["ladder_tiled", "point_multiply_pallas"]
 
 def _ladder_kernel(u_ref, k_ref, zr_ref, out_ref):
-    u = u_ref[0]
+    """u_ref/k_ref: [1, 32, S, L] int32 BYTE rows (peer point encoding and
+    the pre-clamped secret key). The byte->limb decode of u, the key-bit
+    extraction, and the final canon + byte-encode all run in-kernel, so
+    nothing but 32-byte strings crosses the kernel boundary in either
+    direction (the same no-glue rule as the base-mult/poly-mult kernels —
+    the [B, 20] limb codecs outside the launch were the last measured
+    codec cost on the headline path, PERF.md §1)."""
+    from curve25519_tpu.ops.pallas import sc_tile as sct
+    rows = [u_ref[0, i] for i in range(32)]
+    rows[31] = rows[31] & 0x7F               # RFC 7748: mask the top bit
+    u = sct.limbs_from_byte_rows(jnp.stack(rows, axis=0))
     zr = zr_ref[0]
     pad = ft.t_pad()
 
@@ -52,15 +62,15 @@ def _ladder_kernel(u_ref, k_ref, zr_ref, out_ref):
     # bit 254 (always 1 for clamped keys): A = 2G', B = 1G', logical
     # lo = prev ? B : A. `prev` is read from k_ref (not a constant) so the
     # loop carry has a concrete, non-replicated Mosaic layout.
-    prev = (k_ref[0, 254 // BITS] >> (254 % BITS)) & 1   # [S, L], == 1
+    prev = (k_ref[0, 254 // 8] >> (254 % 8)) & 1         # [S, L], == 1
 
     def step(t, st):
         ax, az, bx, bz, prev = st
         i = 253 - t
-        # dynamic limb load from the ref (values don't support dynamic_slice
-        # in Mosaic; refs do)
-        limb = k_ref[0, i // BITS]               # [S, L]
-        bit = (limb >> (i % BITS)) & 1           # [S, L]
+        # dynamic byte-row load from the ref (values don't support
+        # dynamic_slice in Mosaic; refs do)
+        byte = k_ref[0, i // 8]                  # [S, L]
+        bit = (byte >> (i % 8)) & 1              # [S, L]
         s = bit ^ prev
 
         x2 = ft.t_select(s, bx, ax)
@@ -88,22 +98,27 @@ def _ladder_kernel(u_ref, k_ref, zr_ref, out_ref):
     lo_x = ft.t_select(prev, bx, ax)
     lo_z = ft.t_select(prev, bz, az)
 
-    out_ref[0] = ft.t_mul(lo_x, ft.t_inv(lo_z))
+    out_ref[0] = ft.t_to_bytes(ft.t_mul(lo_x, ft.t_inv(lo_z)))
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def ladder_tiled(u_t, k_t, zr_t, interpret=False):
-    """u_t, k_t, zr_t: [G, NLIMBS, 8, 128] int32 tiled limb tensors.
-    Returns the affine x limbs in the same tiling."""
+    """u_t, k_t: [G, 32, 8, 128] int32 tiled BYTE rows (u encoding; clamped
+    secret); zr_t: [G, NLIMBS, 8, 128] limb tiles. Returns enc(u-coordinate)
+    byte rows [G, 32, 8, 128] int32 (canon + pack in-kernel)."""
     g = u_t.shape[0]
-    spec = pl.BlockSpec((1, NLIMBS, ft.TILE_S, ft.TILE_L),
-                        lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+
+    def spec(k):
+        return pl.BlockSpec((1, k, ft.TILE_S, ft.TILE_L),
+                            lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+
     return pl.pallas_call(
         _ladder_kernel,
         grid=(g,),
-        in_specs=[spec, spec, spec],
-        out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct(u_t.shape, jnp.int32),
+        in_specs=[spec(32), spec(32), spec(NLIMBS)],
+        out_specs=spec(32),
+        out_shape=jax.ShapeDtypeStruct((g, 32, ft.TILE_S, ft.TILE_L),
+                                       jnp.int32),
         interpret=interpret,
     )(u_t, k_t, zr_t)
 
@@ -135,16 +150,13 @@ def point_multiply_pallas(point_bytes, sk_bytes, zr=None, interpret=False):
     sk_p = jnp.concatenate([sk, jnp.zeros((bp - b, 32), jnp.uint8)], 0)
     sk_p = codec.clamp(sk_p)  # keep pad lanes well-formed (bit 254 set)
 
-    point_bytes = point_bytes.at[..., 31].set(point_bytes[..., 31] & 0x7F)
-    u = fe.from_bytes(point_bytes)
-    k = fe.from_bytes(sk_p)
     if zr is None:
         zr_l = fe.one((bp,))
     else:
         zr_l = jnp.broadcast_to(zr, batch + (NLIMBS,)).reshape(b, NLIMBS)
         zr_l = jnp.concatenate(
             [zr_l, jnp.broadcast_to(fe.one(()), (bp - b, NLIMBS))], 0)
-    out_t = ladder_tiled(_tile(u, g), _tile(k, g), _tile(zr_l, g),
+    out_t = ladder_tiled(_tile(point_bytes.astype(jnp.int32), g),
+                         _tile(sk_p.astype(jnp.int32), g), _tile(zr_l, g),
                          interpret=interpret)
-    x = _untile(out_t)[:b]
-    return unflatten(fe.to_bytes(x))
+    return unflatten(_untile(out_t)[:b].astype(jnp.uint8))

@@ -281,3 +281,98 @@ def test_pallas_verify_init_interpret_matches_scan():
     # both paths canonicalize, so the int8 planes are bit-identical
     assert np.array_equal(np.asarray(planes), np.asarray(ctx_ref["planes"]))
     assert np.array_equal(np.asarray(ok), np.asarray(ctx_ref["ok"]))
+
+
+@pytest.mark.slow
+def test_pallas_sc_tile_matches_jnp():
+    """In-kernel sc25519 tile ops (ops/pallas/sc_tile.py) vs the jnp twins:
+    digest reduction mod l, byte->limb codec, mod/mul/add, clamp + 8-fold
+    cut, and the BE half-word round-trip used for SHA splicing."""
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from curve25519_tpu.ops.pallas import fe_tile as ft
+    from curve25519_tpu.ops.pallas import sc_tile as sct
+
+    B = ft.TILE_BATCH
+    md = rng.integers(0, 256, (B, 64), dtype=np.uint8)
+    xb = rng.integers(0, 256, (B, 32), dtype=np.uint8)
+
+    def kernel(md_ref, xb_ref, o1, o2, o3, o4, o5):
+        mdr, xbr = md_ref[0], xb_ref[0]
+        r = sct.sc_from_digest_rows(mdr)
+        o1[0] = r
+        lim = sct.limbs_from_byte_rows(xbr)
+        o2[0] = lim
+        a = sct.sc_mod(lim)
+        o3[0] = sct.sc_muladd(r, a, a)
+        digs = sct.cut8_rows(
+            sct.limbs_from_byte_rows(sct.clamp_rows(xbr)))
+        o4[0] = jnp.stack(digs, axis=0)
+        o5[0] = sct.bytes_from_halves(sct.halves_from_byte_rows(xbr))
+
+    def spec(k):
+        return pl.BlockSpec((1, k, ft.TILE_S, ft.TILE_L),
+                            lambda i: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    outs = pl.pallas_call(
+        kernel, grid=(1,), in_specs=[spec(64), spec(32)],
+        out_specs=tuple(spec(k) for k in (20, 20, 20, 32, 32)),
+        out_shape=tuple(jax.ShapeDtypeStruct((1, k, 8, 128), jnp.int32)
+                        for k in (20, 20, 20, 32, 32)),
+        interpret=True,
+    )(ft.tile_lanes(jnp.asarray(md, jnp.int32), 1),
+      ft.tile_lanes(jnp.asarray(xb, jnp.int32), 1))
+    o1, o2, o3, o4, o5 = [ft.untile_lanes(o) for o in outs]
+
+    r_ref = sc.from_digest(jnp.asarray(md))
+    lim_ref = fe.from_bytes(jnp.asarray(xb))
+    a_ref = sc.mod(lim_ref)
+    assert np.array_equal(np.asarray(o1), np.asarray(r_ref))
+    assert np.array_equal(np.asarray(o2), np.asarray(lim_ref))
+    assert np.array_equal(np.asarray(o3),
+                          np.asarray(sc.muladd(r_ref, a_ref, a_ref)))
+    assert np.array_equal(
+        np.asarray(o4),
+        np.asarray(fold.cut8_limbs(fe.from_bytes(
+            codec.clamp(jnp.asarray(xb))))))
+    assert np.array_equal(np.asarray(o5), np.asarray(xb, dtype=np.int32))
+
+
+@pytest.mark.slow
+def test_pallas_keygen_fused_interpret_matches_jnp():
+    """The one-launch keygen kernel (SHA-512 + clamp + cut + base mult +
+    pack) must be bit-exact vs models/ed25519.create_keypair."""
+    from curve25519_tpu.models import ed25519
+    from curve25519_tpu.models.blinding import default_zr
+    from curve25519_tpu.ops.pallas import sign_kernel as sgk
+
+    B = 64
+    seed = jnp.asarray(rng.integers(0, 256, (B, 32), dtype=np.uint8))
+    pk_ref, _ = ed25519.create_keypair(seed)          # CPU jnp path
+    pk = sgk.keygen_fused_pallas(seed, zr=default_zr(), interpret=True)
+    assert np.array_equal(np.asarray(pk), np.asarray(pk_ref))
+
+
+@pytest.mark.slow
+def test_pallas_sign_fused_interpret_matches_jnp():
+    """The one-launch sign kernel (3 SHA-512 runs with spliced prefixes,
+    digest reduction mod l, fold cut, base mult, S = h*a + r) must be
+    bit-exact vs models/ed25519.sign across ragged message lengths,
+    including 0 and the full buffer."""
+    from curve25519_tpu.models import ed25519
+    from curve25519_tpu.models.blinding import default_zr
+    from curve25519_tpu.ops.pallas import sign_kernel as sgk
+
+    B = 64
+    seed = jnp.asarray(rng.integers(0, 256, (B, 32), dtype=np.uint8))
+    pk, priv = ed25519.create_keypair(seed)
+    msg = jnp.asarray(rng.integers(0, 256, (B, 64), dtype=np.uint8))
+    mlen = jnp.asarray(rng.integers(0, 65, (B,), dtype=np.int32))
+    mlen = mlen.at[0].set(0).at[1].set(64)
+    sig_ref = ed25519.sign(priv, msg, mlen)           # CPU jnp path
+    sig = sgk.sign_fused_pallas(priv, msg, mlen, zr=default_zr(),
+                                interpret=True)
+    assert np.array_equal(np.asarray(sig), np.asarray(sig_ref))
+    assert bool(np.asarray(ed25519.verify(sig, pk, msg, mlen)).all())
