@@ -135,10 +135,14 @@ def create_keypair(sk, blinding=None):
     is its bit-exact jnp twin and the blinded route."""
     from curve25519_tpu.ops.pallas import use_pallas
     sk = jnp.asarray(sk, dtype=jnp.uint8)
-    if blinding is None and use_pallas(sk.shape[:-1]):
+    if use_pallas(sk.shape[:-1]):
         from curve25519_tpu.models.blinding import default_zr
         from curve25519_tpu.ops.pallas import sign_kernel
-        pk = sign_kernel.keygen_fused_pallas(sk, zr=default_zr())
+        if blinding is None:
+            pk = sign_kernel.keygen_fused_pallas(sk, zr=default_zr())
+        else:
+            pk = sign_kernel.keygen_fused_pallas(
+                sk, zr=blinding["zr"], bl=blinding["bl"], bp=blinding["bp"])
         return pk, jnp.concatenate([sk, pk], axis=-1)
     md = sha512(sk)                              # [..., 64]
     a_bytes = codec.clamp(md[..., :32])
@@ -164,12 +168,16 @@ def sign(priv, msg, msg_len=None, blinding=None):
     # messages within the fused VMEM block budget; bit-exact with the
     # composition below (tests/test_pallas_kernels.py)
     from curve25519_tpu.ops.pallas import use_pallas
-    if blinding is None and use_pallas(batch):
+    if use_pallas(batch):
         from curve25519_tpu.ops.pallas import sign_kernel
         if sign_kernel.max_fused_msg_len(L):
             from curve25519_tpu.models.blinding import default_zr
+            if blinding is None:
+                return sign_kernel.sign_fused_pallas(
+                    priv, msg, msg_len, zr=default_zr())
             return sign_kernel.sign_fused_pallas(
-                priv, msg, msg_len, zr=default_zr())
+                priv, msg, msg_len, zr=blinding["zr"],
+                bl=blinding["bl"], bp=blinding["bp"])
 
     md = sha512(priv[..., :32])
     a = fe.from_bytes(codec.clamp(md[..., :32]))

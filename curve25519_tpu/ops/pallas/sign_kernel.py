@@ -151,10 +151,13 @@ def _sha_over_ref(w_ref, nb_static, nb_lane, h0, splice, unroll, k_ref):
     return st
 
 
-def _base_mult_from_scratch(cut_ref, zr, planes, pad):
+def _base_mult_from_scratch(cut_ref, zr, planes, pad, bp=None):
     """Folding-8 base multiply whose digits live in a VMEM scratch ref
     (written by the caller from in-kernel values). Same randomized start +
-    31x(double + table add) as edwards_kernel._basemult_kernel."""
+    31x(double + table add) as edwards_kernel._basemult_kernel. `bp` is an
+    optional [4*NLIMBS, S, L] PE blinding point added before normalization
+    — the + BP of (a + bl)*G + BP (reference edp_BasePointMultiply,
+    ed25519_sign.c:246-268)."""
     from curve25519_tpu.config import ED_DI, int_to_limbs
     ypx, ymx, t2d = ek._gather_pa(planes, cut_ref[0])
     x2 = ft.t_sub(ypx, ymx, pad)
@@ -169,13 +172,20 @@ def _base_mult_from_scratch(cut_ref, zr, planes, pad):
         return ek._add_pa(st, *ek._gather_pa(planes, cut_ref[i]), pad)
 
     st = jax.lax.fori_loop(1, 32, step, st)
+    if bp is not None:
+        st = ek._add_pe(st, bp[:NLIMBS], bp[NLIMBS:2 * NLIMBS],
+                        bp[2 * NLIMBS:3 * NLIMBS], bp[3 * NLIMBS:], pad)
     x, y, z, _ = st
     zi = ft.t_inv(z)
     return ft.t_pack_point(ft.t_mul(x, zi), ft.t_mul(y, zi))   # [32, S, L]
 
 
-def _keygen_kernel(skw_ref, zr_ref, planes_ref, k_ref, pk_ref, cut_ref, *,
+def _keygen_kernel(skw_ref, zr_ref, planes_ref, k_ref, *rest, use_bl,
                    unroll):
+    if use_bl:
+        bl_ref, bp_ref, pk_ref, cut_ref = rest
+    else:
+        pk_ref, cut_ref = rest
     pad = ft.t_pad()
     planes = planes_ref[...]
     zero_u = skw_ref[0, 0] ^ skw_ref[0, 0]
@@ -187,15 +197,26 @@ def _keygen_kernel(skw_ref, zr_ref, planes_ref, k_ref, pk_ref, cut_ref, *,
     md_by = sct.bytes_from_halves(jnp.stack(st1, axis=0))      # [64, S, L]
 
     a_by = sct.clamp_rows(md_by[:32])
-    digs = sct.cut8_rows(sct.limbs_from_byte_rows(a_by))
+    a = sct.limbs_from_byte_rows(a_by)
+    bp = None
+    if use_bl:
+        # blinded route: (a + bl)*G + BP  (ed25519_sign.c:254-258)
+        a = sct.sc_add(sct.sc_mod(a), bl_ref[0])
+        bp = bp_ref[0]
+    digs = sct.cut8_rows(a)
     for c in range(32):
         cut_ref[c] = digs[c]
 
-    pk_ref[0] = _base_mult_from_scratch(cut_ref, zr_ref[0], planes, pad)
+    pk_ref[0] = _base_mult_from_scratch(cut_ref, zr_ref[0], planes, pad,
+                                        bp=bp)
 
 
 def _sign_kernel(skw_ref, pkw_ref, w2_ref, nb2_ref, w3_ref, nb3_ref, zr_ref,
-                 planes_ref, k_ref, sig_ref, cut_ref, *, nb2, nb3, unroll):
+                 planes_ref, k_ref, *rest, nb2, nb3, use_bl, unroll):
+    if use_bl:
+        bl_ref, bp_ref, sig_ref, cut_ref = rest
+    else:
+        sig_ref, cut_ref = rest
     pad = ft.t_pad()
     planes = planes_ref[...]
     zero_u = skw_ref[0, 0] ^ skw_ref[0, 0]
@@ -212,10 +233,15 @@ def _sign_kernel(skw_ref, pkw_ref, w2_ref, nb2_ref, w3_ref, nb3_ref, zr_ref,
                         {i: st1[8 + i] for i in range(8)}, unroll, k_ref)
     r = sct.sc_from_digest_rows(sct.bytes_from_halves(jnp.stack(st2, 0)))
 
-    digs = sct.cut8_rows(r)                      # r is canonical/normalized
+    # blinded route multiplies t = r + bl and adds BP after the loop
+    # (r is canonical, so sc.mod(r) of the jnp twin is the identity)
+    t_scalar = sct.sc_add(r, bl_ref[0]) if use_bl else r
+    bp = bp_ref[0] if use_bl else None
+    digs = sct.cut8_rows(t_scalar)               # canonical/normalized
     for c in range(32):
         cut_ref[c] = digs[c]
-    r_rows = _base_mult_from_scratch(cut_ref, zr_ref[0], planes, pad)
+    r_rows = _base_mult_from_scratch(cut_ref, zr_ref[0], planes, pad,
+                                     bp=bp)
 
     # h = SHA512(enc(R) || pk || msg) mod l: splice the 64-byte hole with
     # the in-kernel enc(R) and the host-packed pubkey halves
@@ -231,11 +257,14 @@ def _sign_kernel(skw_ref, pkw_ref, w2_ref, nb2_ref, w3_ref, nb3_ref, zr_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def keygen_tiled(skw_t, zr_t, interpret=False):
+def keygen_tiled(skw_t, zr_t, bl_t=None, bp_t=None, interpret=False):
     """skw_t: [G, 32, 8, 128] u32 padded words of SHA512(seed);
-    zr_t: [G, NLIMBS, 8, 128] projective randomizer. Returns compressed
-    pubkey byte rows [G, 32, 8, 128] int32."""
+    zr_t: [G, NLIMBS, 8, 128] projective randomizer; bl_t/bp_t: optional
+    [G, NLIMBS, ...] blinder scalar and [G, 4*NLIMBS, ...] PE blinding
+    point (both or neither). Returns compressed pubkey byte rows
+    [G, 32, 8, 128] int32."""
     g = skw_t.shape[0]
+    use_bl = bl_t is not None
 
     def spec(k):
         return pl.BlockSpec((1, k, ft.TILE_S, ft.TILE_L),
@@ -243,28 +272,37 @@ def keygen_tiled(skw_t, zr_t, interpret=False):
 
     planes_spec = pl.BlockSpec((2 * ek._W, 256), lambda i: (0, 0),
                                memory_space=pltpu.VMEM)
+    in_specs = [spec(32), spec(NLIMBS), planes_spec,
+                pl.BlockSpec(memory_space=pltpu.SMEM)]
+    args = [skw_t, zr_t, ek.folding8_planes_T(),
+            jnp.asarray(sha_jnp._K_HL)]
+    if use_bl:
+        in_specs += [spec(NLIMBS), spec(4 * NLIMBS)]
+        args += [bl_t, bp_t]
     return pl.pallas_call(
-        functools.partial(_keygen_kernel, unroll=not interpret),
+        functools.partial(_keygen_kernel, use_bl=use_bl,
+                          unroll=not interpret),
         grid=(g,),
-        in_specs=[spec(32), spec(NLIMBS), planes_spec,
-                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        in_specs=in_specs,
         out_specs=spec(32),
         out_shape=jax.ShapeDtypeStruct((g, 32, ft.TILE_S, ft.TILE_L),
                                        jnp.int32),
         scratch_shapes=[pltpu.VMEM((32, ft.TILE_S, ft.TILE_L), jnp.int32)],
         interpret=interpret,
-    )(skw_t, zr_t, ek.folding8_planes_T(), jnp.asarray(sha_jnp._K_HL))
+    )(*args)
 
 
 @functools.partial(jax.jit, static_argnames=("nb2", "nb3", "interpret"))
 def sign_tiled(skw_t, pkw_t, w2_t, nb2_t, w3_t, nb3_t, zr_t, nb2, nb3,
-               interpret=False):
+               bl_t=None, bp_t=None, interpret=False):
     """One-launch sign. skw_t: [G, 32, ...] u32 seed-hash block; pkw_t:
     [G, 8, ...] u32 pubkey halves; w2_t/w3_t: [G, nb*32, ...] u32 padded
     words of (32/64-byte hole || msg); nb2_t/nb3_t: [G, 1, ...] int32
-    per-lane block counts; zr_t: [G, NLIMBS, ...] randomizer. Returns
-    signature byte rows [G, 64, 8, 128] int32."""
+    per-lane block counts; zr_t: [G, NLIMBS, ...] randomizer; bl_t/bp_t:
+    optional blinder scalar + PE blinding point. Returns signature byte
+    rows [G, 64, 8, 128] int32."""
     g = skw_t.shape[0]
+    use_bl = bl_t is not None
 
     def spec(k):
         return pl.BlockSpec((1, k, ft.TILE_S, ft.TILE_L),
@@ -272,20 +310,25 @@ def sign_tiled(skw_t, pkw_t, w2_t, nb2_t, w3_t, nb3_t, zr_t, nb2, nb3,
 
     planes_spec = pl.BlockSpec((2 * ek._W, 256), lambda i: (0, 0),
                                memory_space=pltpu.VMEM)
+    in_specs = [spec(32), spec(8), spec(nb2 * 32), spec(1), spec(nb3 * 32),
+                spec(1), spec(NLIMBS), planes_spec,
+                pl.BlockSpec(memory_space=pltpu.SMEM)]
+    args = [skw_t, pkw_t, w2_t, nb2_t, w3_t, nb3_t, zr_t,
+            ek.folding8_planes_T(), jnp.asarray(sha_jnp._K_HL)]
+    if use_bl:
+        in_specs += [spec(NLIMBS), spec(4 * NLIMBS)]
+        args += [bl_t, bp_t]
     return pl.pallas_call(
-        functools.partial(_sign_kernel, nb2=nb2, nb3=nb3,
+        functools.partial(_sign_kernel, nb2=nb2, nb3=nb3, use_bl=use_bl,
                           unroll=not interpret),
         grid=(g,),
-        in_specs=[spec(32), spec(8), spec(nb2 * 32), spec(1), spec(nb3 * 32),
-                  spec(1), spec(NLIMBS), planes_spec,
-                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        in_specs=in_specs,
         out_specs=spec(64),
         out_shape=jax.ShapeDtypeStruct((g, 64, ft.TILE_S, ft.TILE_L),
                                        jnp.int32),
         scratch_shapes=[pltpu.VMEM((32, ft.TILE_S, ft.TILE_L), jnp.int32)],
         interpret=interpret,
-    )(skw_t, pkw_t, w2_t, nb2_t, w3_t, nb3_t, zr_t,
-      ek.folding8_planes_T(), jnp.asarray(sha_jnp._K_HL))
+    )(*args)
 
 
 def _flat_pad(x, bpad, dtype=None):
@@ -307,11 +350,31 @@ def _prep_zr(zr, batch, b, bpad):
     return zr_l
 
 
-def keygen_fused_pallas(sk, zr=None, interpret=False):
+def _prep_blinding(bl, bp, batch, b, bpad, g):
+    """Broadcast + pad the blinder scalar and PE point to tile form.
+    Pad lanes get bl = 0 and BP = the PE identity (1, 1, 0, 2), keeping
+    them on the unblinded semantics."""
+    from curve25519_tpu.ops import fe
+    if bl is None:
+        return None, None
+    bl = jnp.broadcast_to(bl, batch + (NLIMBS,)).reshape(b, NLIMBS)
+    bl = jnp.concatenate([bl, jnp.zeros((bpad - b, NLIMBS), bl.dtype)], 0)
+    coords = jnp.concatenate(
+        [jnp.broadcast_to(bp[k], batch + (NLIMBS,)).reshape(b, NLIMBS)
+         for k in ("ypx", "ymx", "t2d", "z2")], axis=-1)     # [b, 4*NLIMBS]
+    ident = jnp.concatenate([fe.one(()), fe.one(()), fe.zero(()),
+                             fe.from_int(2)], 0)
+    coords = jnp.concatenate(
+        [coords, jnp.broadcast_to(ident, (bpad - b, 4 * NLIMBS))], 0)
+    return ft.tile_lanes(bl, g), ft.tile_lanes(coords, g)
+
+
+def keygen_fused_pallas(sk, zr=None, bl=None, bp=None, interpret=False):
     """Batched fused keygen: [..., 32] uint8 seeds -> [..., 32] uint8
     compressed pubkeys in one kernel launch (SHA + clamp + cut + base
-    mult + pack). Bit-identical to the multi-launch composition
-    sha512 -> clamp -> _base_mult_pk (models/ed25519.create_keypair)."""
+    mult + pack; with bl/bp, the blinded (a + bl)*G + BP form).
+    Bit-identical to the multi-launch composition sha512 -> clamp ->
+    _base_mult_pk (models/ed25519.create_keypair)."""
     from curve25519_tpu.ops.pallas import flatten_batch
 
     sk = jnp.asarray(sk, jnp.uint8)
@@ -321,17 +384,20 @@ def keygen_fused_pallas(sk, zr=None, interpret=False):
     words, _, _ = shk._pack_words(sk, jnp.full((b,), 32, jnp.int32))
     bpad = ((b + ft.TILE_BATCH - 1) // ft.TILE_BATCH) * ft.TILE_BATCH
     g = bpad // ft.TILE_BATCH
+    bl_t, bp_t = _prep_blinding(bl, bp, batch, b, bpad, g)
     pk_t = keygen_tiled(
         ft.tile_lanes(_flat_pad(words, bpad), g),
         ft.tile_lanes(_prep_zr(zr, batch, b, bpad), g),
-        interpret=interpret)
+        bl_t, bp_t, interpret=interpret)
     return unflatten(ft.untile_lanes(pk_t)[:b].astype(jnp.uint8))
 
 
-def sign_fused_pallas(priv, msg, msg_len=None, zr=None, interpret=False):
+def sign_fused_pallas(priv, msg, msg_len=None, zr=None, bl=None, bp=None,
+                      interpret=False):
     """Batched fused sign: priv [..., 64] (seed || pk), msg [..., L] uint8
-    (L within max_fused_msg_len), msg_len [...] int32. One kernel launch
-    per tile; bit-identical to models/ed25519.sign without blinding."""
+    (L within max_fused_msg_len), msg_len [...] int32; optional bl/bp run
+    the blinded R = (r + bl)*G + BP route in the same single launch. One
+    kernel launch per tile; bit-identical to models/ed25519.sign."""
     from curve25519_tpu.ops.pallas import flatten_batch
 
     priv = jnp.asarray(priv, jnp.uint8)
@@ -356,6 +422,7 @@ def sign_fused_pallas(priv, msg, msg_len=None, zr=None, interpret=False):
 
     bpad = ((b + ft.TILE_BATCH - 1) // ft.TILE_BATCH) * ft.TILE_BATCH
     g = bpad // ft.TILE_BATCH
+    bl_t, bp_t = _prep_blinding(bl, bp, batch, b, bpad, g)
     sig_t = sign_tiled(
         ft.tile_lanes(_flat_pad(skw, bpad), g),
         ft.tile_lanes(_flat_pad(pkw, bpad), g),
@@ -364,5 +431,5 @@ def sign_fused_pallas(priv, msg, msg_len=None, zr=None, interpret=False):
         ft.tile_lanes(_flat_pad(w3, bpad), g),
         ft.tile_lanes(_flat_pad(nbl3[:, None].astype(jnp.int32), bpad), g),
         ft.tile_lanes(_prep_zr(zr, batch, b, bpad), g),
-        nb2, nb3, interpret=interpret)
+        nb2, nb3, bl_t, bp_t, interpret=interpret)
     return unflatten(ft.untile_lanes(sig_t)[:b].astype(jnp.uint8))

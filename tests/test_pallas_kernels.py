@@ -376,3 +376,33 @@ def test_pallas_sign_fused_interpret_matches_jnp():
                                 interpret=True)
     assert np.array_equal(np.asarray(sig), np.asarray(sig_ref))
     assert bool(np.asarray(ed25519.verify(sig, pk, msg, mlen)).all())
+
+
+@pytest.mark.slow
+def test_pallas_sign_fused_blinded_interpret_matches_jnp():
+    """The blinded route of the fused kernels — (a + bl)*G + BP with the
+    ctx's zr — must be bit-exact vs the jnp blinded composition AND leave
+    signatures/pubkeys unchanged vs unblinded (the reference's blinding
+    invariance, test/curve25519_test.c:323-410)."""
+    from curve25519_tpu.models import blinding, ed25519
+    from curve25519_tpu.ops.pallas import sign_kernel as sgk
+
+    B = 48
+    seed = jnp.asarray(rng.integers(0, 256, (B, 32), dtype=np.uint8))
+    msg = jnp.asarray(rng.integers(0, 256, (B, 48), dtype=np.uint8))
+    mlen = jnp.asarray(rng.integers(0, 49, (B,), dtype=np.int32))
+    bl = blinding.blinding_init(bytes(rng.integers(0, 256, 64,
+                                                   dtype=np.uint8)))
+    blb = blinding.as_batch(bl, (B,))
+
+    pk_ref, priv = ed25519.create_keypair(seed, blinding=blb)  # CPU jnp
+    pk = sgk.keygen_fused_pallas(seed, zr=blb["zr"], bl=blb["bl"],
+                                 bp=blb["bp"], interpret=True)
+    assert np.array_equal(np.asarray(pk), np.asarray(pk_ref))
+
+    sig_ref = ed25519.sign(priv, msg, mlen, blinding=blb)
+    sig = sgk.sign_fused_pallas(priv, msg, mlen, zr=blb["zr"],
+                                bl=blb["bl"], bp=blb["bp"], interpret=True)
+    assert np.array_equal(np.asarray(sig), np.asarray(sig_ref))
+    assert np.array_equal(np.asarray(sig_ref),
+                          np.asarray(ed25519.sign(priv, msg, mlen)))
