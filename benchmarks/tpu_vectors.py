@@ -15,7 +15,7 @@ Policy anchor: the reference refuses to benchmark until donna agrees
 (test/curve25519_test.c:143-154); this extends the same demand to edge
 inputs on the production backend.
 
-Usage: python benchmarks/tpu_vectors.py [--out TPU_VECTORS_r04.json]
+Usage: python benchmarks/tpu_vectors.py [--out TPU_VECTORS_r05.json]
 Writes one JSON artifact; exits non-zero on ANY disagreement.
 """
 
@@ -34,7 +34,7 @@ sys.path.insert(0, os.path.join(ROOT, "tests"))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="TPU_VECTORS_r04.json")
+    ap.add_argument("--out", default="TPU_VECTORS_r05.json")
     args = ap.parse_args()
 
     import jax
